@@ -1,0 +1,179 @@
+"""Prediction decoding + NMS as a batched, shape-static XLA program.
+
+The reference has two implementations of this logic:
+  * host NumPy with ragged lists (`ssd_encoder_decoder/ssd_output_decoder.py:111-226`),
+  * an in-graph TF layer leaning on `tf.map_fn` + `tf.image.non_max_suppression`
+    + `boolean_mask` (`keras_layers/keras_layer_DecodeDetections.py:109-265`).
+
+Neither maps to TPU/XLA, which wants static shapes and no per-class Python/map
+loops.  This module implements the same "Caffe-style" procedure — per-class
+confidence threshold -> per-class greedy NMS -> global top-k — as fully padded,
+masked tensor ops: candidates are selected with `lax.top_k`, suppression runs a
+fixed-length `fori_loop` over a precomputed pairwise-IoU matrix, and classes and
+batch are handled by `vmap`.  Suppressed / sub-threshold slots carry score 0
+and survive as zero rows, matching the reference's zero-padding convention
+(`keras_layer_DecodeDetections.py:219-241`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jpeg_detection_resnet_ssd_tpu.boxes import geometry
+
+
+def decode_raw_predictions(
+    y_pred: jax.Array,
+    *,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: int | None = None,
+    img_width: int | None = None,
+):
+    """Convert raw SSD output offsets to absolute corner boxes + class scores.
+
+    Args:
+      y_pred: (..., n_boxes, n_classes + 12) — [class scores, 4 offsets,
+        4 anchor coords, 4 variances] (reference layout,
+        `keras_ssd_loss.py:103-119`).
+
+    Returns:
+      (scores, boxes): (..., n_boxes, n_classes) softmax scores and
+      (..., n_boxes, 4) corner-format boxes (absolute pixels if
+      `normalize_coords`, mirroring `ssd_output_decoder.py:174-198`).
+    """
+    scores = y_pred[..., :-12]
+    offs = y_pred[..., -12:-8]
+    anchors = y_pred[..., -8:-4]
+    variances = y_pred[..., -4:]
+
+    if input_coords != "centroids":
+        raise NotImplementedError("only 'centroids' in-model coords supported")
+    cxa, cya, wa, ha = (anchors[..., i] for i in range(4))
+    cx = offs[..., 0] * variances[..., 0] * wa + cxa
+    cy = offs[..., 1] * variances[..., 1] * ha + cya
+    w = jnp.exp(offs[..., 2] * variances[..., 2]) * wa
+    h = jnp.exp(offs[..., 3] * variances[..., 3]) * ha
+    boxes = geometry.centroids_to_corners(jnp.stack([cx, cy, w, h], axis=-1))
+    if normalize_coords:
+        if img_height is None or img_width is None:
+            raise ValueError("img_height/img_width required with normalize_coords")
+        scale = jnp.array(
+            [img_width, img_height, img_width, img_height], dtype=boxes.dtype
+        )
+        boxes = boxes * scale
+    return scores, boxes
+
+
+def _greedy_nms_mask(boxes, scores, iou_threshold, border_pixels="half"):
+    """Sequential greedy NMS over score-sorted candidates.
+
+    Args:
+      boxes: (k, 4) corners, sorted by descending score.
+      scores: (k,) matching scores (0 marks invalid slots).
+
+    Returns:
+      keep: (k,) bool mask of surviving boxes.
+    """
+    k = boxes.shape[0]
+    ious = geometry.iou_matrix(
+        boxes, boxes, coords="corners", border_pixels=border_pixels
+    )
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        alive_i = keep[i] & (scores[i] > 0.0)
+        # Suppress all later boxes overlapping box i beyond the threshold.
+        suppress = alive_i & (ious[i] > iou_threshold) & (idx > i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))
+    return keep & (scores > 0.0)
+
+
+def nms_per_class(
+    boxes: jax.Array,
+    class_scores: jax.Array,
+    *,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    nms_max_output_size: int = 400,
+    border_pixels: str = "half",
+):
+    """Confidence-threshold + greedy NMS for ONE class over one image.
+
+    Returns (scores, boxes) of length `nms_max_output_size`, zero-padded.
+    """
+    masked = jnp.where(class_scores > confidence_thresh, class_scores, 0.0)
+    k = min(nms_max_output_size, masked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_boxes = boxes[top_idx]
+    keep = _greedy_nms_mask(top_boxes, top_scores, iou_threshold, border_pixels)
+    return jnp.where(keep, top_scores, 0.0), top_boxes
+
+
+def decode_detections(
+    y_pred: jax.Array,
+    *,
+    n_classes: int,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    top_k: int = 200,
+    nms_max_output_size: int = 400,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: int = 300,
+    img_width: int = 300,
+    border_pixels: str = "half",
+) -> jax.Array:
+    """Full batched decode: (B, n_boxes, n_cls+1+12) -> (B, top_k, 6).
+
+    Output rows are `[class_id, confidence, xmin, ymin, xmax, ymax]` sorted by
+    descending confidence, zero-padded — the contract of the reference's
+    inference-mode model head (`keras_layer_DecodeDetections.py:109-265`).
+    `n_classes` is the number of POSITIVE classes (background excluded).
+    """
+    scores, boxes = decode_raw_predictions(
+        y_pred,
+        input_coords=input_coords,
+        normalize_coords=normalize_coords,
+        img_height=img_height,
+        img_width=img_width,
+    )
+
+    def per_image(scores_i, boxes_i):
+        # (n_classes, n_boxes): positive-class scores, class axis leading.
+        pos_scores = jnp.moveaxis(scores_i[:, 1 : n_classes + 1], -1, 0)
+        cls_nms = jax.vmap(
+            functools.partial(
+                nms_per_class,
+                confidence_thresh=confidence_thresh,
+                iou_threshold=iou_threshold,
+                nms_max_output_size=nms_max_output_size,
+                border_pixels=border_pixels,
+            ),
+            in_axes=(None, 0),
+        )
+        kept_scores, kept_boxes = cls_nms(boxes_i, pos_scores)  # (C, k), (C, k, 4)
+        C, k = kept_scores.shape
+        class_ids = jnp.broadcast_to(
+            jnp.arange(1, C + 1, dtype=jnp.float32)[:, None], (C, k)
+        )
+        flat_scores = kept_scores.reshape(-1)
+        flat_boxes = kept_boxes.reshape(-1, 4)
+        flat_cls = class_ids.reshape(-1)
+        best, idx = jax.lax.top_k(flat_scores, top_k)
+        rows = jnp.concatenate(
+            [
+                jnp.where(best > 0, flat_cls[idx], 0.0)[:, None],
+                best[:, None],
+                jnp.where(best[:, None] > 0, flat_boxes[idx], 0.0),
+            ],
+            axis=-1,
+        )
+        return rows
+
+    return jax.vmap(per_image)(scores, boxes)
