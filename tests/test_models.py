@@ -1,0 +1,111 @@
+"""Model zoo: init + forward shape contracts for every architecture."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpeg_detection_resnet_ssd_tpu.models import build_model, MODEL_REGISTRY
+
+N_BOXES = {
+    # family -> total anchors (sum over predictor grids x boxes/cell)
+    "resnet_custom": 8732,   # 38^2*4 + 19^2*6 + 10^2*6 + 5^2*6 + 3^2*4 + 4
+    "resnet_identical": 6716,  # 38^2*4 + 10^2*6 + 5^2*6 + 5^2*6 + 3^2*4 + 4
+    "vgg": 8732,
+}
+
+CLS_MODELS = [
+    "resnet50_rgb",
+    "resnet50_dct_deconv",
+    "resnet50_dct_up_sampling",
+    "resnet50_dct_up_sampling_rfa",
+    "resnet50_dct_late_concat_rfa_thinner",
+    "resnet50_dct_late_concat_more_channels",
+    "resnet50_dct_cb5_only",
+    "resnet50_dct_y_cb4_cbcr_cb5",
+    "vgga",
+    "vggd",
+    "vgga_dct",
+    "vggd_dct",
+    "vgga_dct_8x8",
+    "vggd_dct_8x8",
+]
+
+DET_MODELS = {
+    "ssd300_ssd_custom": 8732,
+    "ssd300_deconv": 6716,
+    "ssd300_up_sampling": 6716,
+    "ssd300_cb5_only": 6716,
+    "ssd300_y_cb4_cbcr_cb5": 6716,
+    "ssd300_vgg": 8732,
+    "ssd300_vgg_dct": 8732,
+    "ssd300_vgg_dct_image": 8732,
+}
+
+
+def _init_and_apply(name, n_classes_kw=None):
+    kwargs = {} if n_classes_kw is None else n_classes_kw
+    module, example = build_model(name, **kwargs)
+    inputs = example()
+    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+    out = module.apply(variables, inputs, train=False)
+    return module, variables, out
+
+
+@pytest.mark.parametrize("name", CLS_MODELS)
+def test_classifier_forward(name):
+    _, variables, out = _init_and_apply(name, {"num_classes": 10})
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name", sorted(DET_MODELS))
+def test_detector_forward(name):
+    _, variables, out = _init_and_apply(name, {"n_classes": 20})
+    n_boxes = DET_MODELS[name]
+    assert out.shape == (2, n_boxes, 21 + 12)
+    out = np.asarray(out)
+    # conf block is softmaxed
+    np.testing.assert_allclose(out[..., :21].sum(-1), 1.0, atol=1e-4)
+    # variances block is constant (0.1, 0.1, 0.2, 0.2)
+    np.testing.assert_allclose(
+        out[..., -4:], np.broadcast_to([0.1, 0.1, 0.2, 0.2], out[..., -4:].shape),
+        atol=1e-6,
+    )
+    # anchor w/h positive
+    assert (out[..., -6:-4] > 0).all()
+
+
+def test_registry_complete():
+    # every reference architecture is present (SURVEY.md §2.3/§2.4)
+    for required in CLS_MODELS + sorted(DET_MODELS):
+        assert required in MODEL_REGISTRY
+
+
+def test_batchnorm_mutable_train_step():
+    module, example = build_model("resnet50_dct_late_concat_rfa_thinner",
+                                  num_classes=10)
+    inputs = example()
+    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+    out, mutated = module.apply(
+        variables, inputs, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out.shape == (2, 10)
+    assert "batch_stats" in mutated
+
+
+def test_ssd_custom_param_names_match_reference():
+    """H5-compat layer names exist in the param tree (by_name import contract)."""
+    module, example = build_model("ssd300_ssd_custom", n_classes=20)
+    variables = module.init(jax.random.PRNGKey(0), example(), train=False)
+    params = variables["params"]
+    for expected in [
+        "res1a2_branch2a", "bn1a2_branch2a", "res2a4_branch1",
+        "res5a_branch2a", "fc6", "fc7", "conv6_2", "conv9_2",
+        "conv4_3_norm", "conv3_3_norm", "conv4_6_norm",
+    ]:
+        assert expected in params, f"missing param scope {expected}"
+    head = params["head"]
+    assert "conv4_3_norm_mbox_conf_21" in head
+    assert "conv9_2_mbox_loc" in head
