@@ -25,7 +25,7 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels_onehot: jnp.ndarray):
 
 def top_k_accuracy(logits: jnp.ndarray, labels: jnp.ndarray, k: int = 1):
     """labels: int class ids (B,). Matches keras top_k_categorical_accuracy."""
-    topk = jax.lax.top_k(logits, k)[1]  # (B, k)
+    topk = jax.lax.top_k(logits, min(k, logits.shape[-1]))[1]  # (B, k)
     hit = jnp.any(topk == labels[:, None], axis=-1)
     return jnp.mean(hit.astype(jnp.float32))
 

@@ -1,0 +1,175 @@
+"""The training engine: sharded, jit-compiled train/eval steps.
+
+Replaces the reference's Keras `fit_generator` + Horovod stack
+(`classification_part/training.py:179-198`, `config/resnet/config_file.py:121-150`,
+`localisation_part/training_dct_pascal_j2d_resnet.py:330-336`) with a single
+pjit-style programme: the global batch arrives sharded over the mesh's `data`
+axis, the forward/backward runs as one XLA computation per step, and gradient
+all-reduce is an XLA collective over ICI — no distributed-optimizer wrapper,
+no broadcast callback (state is created once, sharded, and lives on device).
+
+Design notes (TPU-first):
+  * one jitted step, state donated, so weights never round-trip to host;
+  * BatchNorm batch_stats updated inside the step (flax mutable collection) —
+    stats are computed over the LOCAL shard then averaged by XLA's cross-
+    replica reduction only if requested (axis_name not used: per-shard stats
+    match the reference's per-GPU BN behaviour);
+  * loss functions are pluggable pure callables so the same Trainer serves
+    classification (xent) and detection (SSDLoss + selective L2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from jpeg_detection_resnet_ssd_tpu.losses import (
+    SSDLoss,
+    l2_regularization_loss,
+    softmax_cross_entropy,
+    top_k_accuracy,
+)
+from jpeg_detection_resnet_ssd_tpu.parallel import (
+    batch_sharding,
+    param_shardings,
+    replicate_sharding,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def detection_loss_fn(ssd_loss: SSDLoss = SSDLoss(), l2_scale: float = 5e-4):
+    """(params, outputs, batch) -> (loss, metrics) for SSD training.
+
+    batch = {'targets': (B, n_boxes, C+12)}; adds the reference's selective
+    L2 penalty over SSD neck/head kernels.
+    """
+
+    def fn(params, outputs, batch):
+        loss = ssd_loss(batch["targets"], outputs)
+        reg = l2_regularization_loss(params, l2_scale) if l2_scale else 0.0
+        total = loss + reg
+        return total, {"loss": loss, "reg": reg}
+
+    return fn
+
+
+def classification_loss_fn(weight_decay: float = 0.0):
+    """batch = {'labels': int (B,)}; metrics include top-1/top-5."""
+
+    def fn(params, outputs, batch):
+        onehot = jax.nn.one_hot(batch["labels"], outputs.shape[-1])
+        loss = softmax_cross_entropy(outputs, onehot)
+        metrics = {
+            "loss": loss,
+            "top1": top_k_accuracy(outputs, batch["labels"], 1),
+            "top5": top_k_accuracy(outputs, batch["labels"], 5),
+        }
+        return loss, metrics
+
+    return fn
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds and owns the sharded train/eval step for one model.
+
+    Args:
+      model: flax module whose `__call__(inputs, train)` yields outputs.
+      loss_fn: (params, outputs, batch) -> (scalar, metrics dict).
+      optimizer: an optax GradientTransformation.
+      mesh: jax.sharding.Mesh from `parallel.make_mesh`.
+      tp_rule: optional param-sharding rule (see `parallel.param_shardings`).
+    """
+
+    model: Any
+    loss_fn: Callable
+    optimizer: optax.GradientTransformation
+    mesh: Any
+    tp_rule: Callable | None = None
+    donate: bool = True
+
+    def init_state(self, rng, example_inputs) -> TrainState:
+        variables = self.model.init(rng, example_inputs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+        )
+        return jax.device_put(state, self.state_shardings(state))
+
+    def state_shardings(self, state: TrainState):
+        p_shard = param_shardings(self.mesh, state.params, self.tp_rule)
+        rep = replicate_sharding(self.mesh)
+
+        def like_params(tree):
+            # optimizer state & batch stats follow the param sharding where the
+            # leaf shape matches a param, else replicate.
+            return jax.tree_util.tree_map(lambda _: rep, tree)
+
+        return TrainState(
+            step=rep,
+            params=p_shard,
+            batch_stats=like_params(state.batch_stats),
+            opt_state=like_params(state.opt_state),
+        )
+
+    def batch_shardings(self, batch):
+        bs = batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda _: bs, batch)
+
+    def _step(self, state: TrainState, batch, dropout_rng):
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = self.model.apply(
+                variables,
+                batch["inputs"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(dropout_rng, state.step)},
+            )
+            loss, metrics = self.loss_fn(params, outputs, batch)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        updates, new_opt = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(metrics, total_loss=loss)
+        return new_state, metrics
+
+    @functools.cached_property
+    def train_step(self):
+        """Jitted, sharded (state, batch, rng) -> (state, metrics)."""
+        return jax.jit(self._step, donate_argnums=(0,) if self.donate else ())
+
+    def eval_step(self):
+        def step(state: TrainState, inputs):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            return self.model.apply(variables, inputs, train=False)
+
+        return jax.jit(step)

@@ -1,0 +1,140 @@
+"""Trainer: sharded train steps converge and shard correctly on the 8-CPU mesh.
+
+Unit tests use small toy modules (full-size models multiply replicated compute
+8x on the shared-thread virtual CPU mesh); the full flagship training step is
+exercised once via `__graft_entry__.dryrun_multichip`, exactly as the driver
+runs it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import linen as nn
+
+from jpeg_detection_resnet_ssd_tpu.parallel import make_mesh
+from jpeg_detection_resnet_ssd_tpu.parallel.mesh import tensor_parallel_rule
+from jpeg_detection_resnet_ssd_tpu.train import (
+    Trainer,
+    classification_loss_fn,
+    detection_loss_fn,
+    keras_inverse_time_decay,
+    warmup_linear_scaling,
+)
+
+
+class TinyClassifier(nn.Module):
+    """BN + conv + dense head: exercises batch_stats, dropout, params."""
+
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        y, cbcr = inputs
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(y)
+        x = nn.relu(nn.Conv(8, (3, 3), name="conv")(x))
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+class TinyDetector(nn.Module):
+    """Tiny net emitting an SSD-layout prediction tensor; has a wide 'fc6'
+    kernel so the tensor-parallel rule engages."""
+
+    n_classes: int = 3
+    n_boxes: int = 32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        y, cbcr = inputs
+        x = nn.relu(nn.Conv(1024, (3, 3), name="fc6")(y))
+        x = jnp.mean(x, axis=(1, 2))
+        out = nn.Dense(self.n_boxes * (self.n_classes + 1 + 4), name="head")(x)
+        out = out.reshape(x.shape[0], self.n_boxes, -1)
+        conf = jax.nn.softmax(out[..., : self.n_classes + 1])
+        loc = out[..., self.n_classes + 1 :]
+        anchors = jnp.ones(loc.shape[:-1] + (8,), loc.dtype) * 0.1
+        return jnp.concatenate([conf, loc, anchors], axis=-1)
+
+
+def _toy_batch(rng, B=8):
+    y = rng.normal(0, 1, (B, 12, 12, 16)).astype(np.float32)
+    cbcr = rng.normal(0, 1, (B, 6, 6, 32)).astype(np.float32)
+    return y, cbcr
+
+
+def test_classification_step_reduces_loss(rng):
+    mesh = make_mesh()  # 8 x 1
+    trainer = Trainer(
+        model=TinyClassifier(),
+        loss_fn=classification_loss_fn(),
+        optimizer=optax.sgd(0.05, momentum=0.9),
+        mesh=mesh,
+        donate=False,
+    )
+    y, cbcr = _toy_batch(rng)
+    labels = rng.integers(0, 4, 8)
+    with mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), (y[:1], cbcr[:1]))
+        batch = {"inputs": (y, cbcr), "labels": labels}
+        batch = jax.device_put(batch, trainer.batch_shardings(batch))
+        losses = []
+        for i in range(8):
+            state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    assert "top5" in metrics
+
+
+def test_detection_step_tp_mesh(rng):
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = TinyDetector()
+    trainer = Trainer(
+        model=model,
+        loss_fn=detection_loss_fn(l2_scale=5e-4),
+        optimizer=optax.sgd(1e-3, momentum=0.9),
+        mesh=mesh,
+        tp_rule=tensor_parallel_rule,
+        donate=False,
+    )
+    B, N, C = 4, 32, 3
+    y, cbcr = _toy_batch(rng, B)
+    targets = np.zeros((B, N, C + 1 + 12), dtype=np.float32)
+    targets[..., 0] = 1.0
+    for b in range(B):
+        idx = rng.integers(0, N, 3)
+        targets[b, idx, 0] = 0.0
+        targets[b, idx, 1 + rng.integers(0, C)] = 1.0
+    targets[..., -4:] = [0.1, 0.1, 0.2, 0.2]
+    with mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), (y[:1], cbcr[:1]))
+        # wide kernels (>=1024 features) sharded over the model axis
+        fc6 = state.params["fc6"]["kernel"]
+        assert fc6.sharding.spec[-1] == "model"
+        batch = {"inputs": (y, cbcr), "targets": targets}
+        batch = jax.device_put(batch, trainer.batch_shardings(batch))
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["reg"]) > 0
+
+
+def test_schedules():
+    s = keras_inverse_time_decay(0.1, 1e-4)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(10000)) == pytest.approx(0.05)
+    w = warmup_linear_scaling(0.1, n_replicas=16, steps_per_epoch=10,
+                              warmup_epochs=5)
+    assert float(w(0)) == pytest.approx(0.1)
+    assert float(w(50)) == pytest.approx(0.4)  # 0.1 * 16 / 4
+    assert float(w(500)) == pytest.approx(0.4)
+
+
+def test_graft_entry_multichip():
+    """The driver's dry run: full flagship train step on an 8-device mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
