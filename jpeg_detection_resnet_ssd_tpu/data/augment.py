@@ -1,0 +1,436 @@
+"""Label-aware augmentation ops + the SSD/classification chains.
+
+Re-designs the reference's augmentation suite — `localisation_part/
+data_generator/object_detection_2d_{photometric,geometric,patch_sampling}_ops.py`
+and `data_augmentation_chain_original_ssd.py` (the Caffe-SSD pipeline), plus
+the classification helpers `classification_part/.../generators/helper.py` —
+as pure functions/classes over (image uint8 RGB, labels (k,5)) that take an
+EXPLICIT `np.random.Generator` (the reference mutates global np.random from
+multiprocessing workers — a latent RNG hazard, SURVEY.md §5.2).
+
+Geometric ops emit inverters (callables mapping predicted boxes back to
+original image coordinates), preserving the reference's
+`apply_inverse_transforms` contract
+(`object_detection_2d_misc_utils.py:22`, used by the evaluator at
+`eval_utils/average_precision_evaluator.py:402`).
+
+Labels layout: (class_id, xmin, ymin, xmax, ymax) absolute pixel corners.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+_CV2_INTERPS = None
+
+
+def _interp_modes():
+    global _CV2_INTERPS
+    if _CV2_INTERPS is None:
+        _CV2_INTERPS = [
+            cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_CUBIC,
+            cv2.INTER_AREA, cv2.INTER_LANCZOS4,
+        ]
+    return _CV2_INTERPS
+
+
+# ---------------------------------------------------------------------------
+# photometric ops (detection chain; `object_detection_2d_photometric_ops.py`)
+# ---------------------------------------------------------------------------
+
+def to_3_channels(image):
+    if image.ndim == 2:
+        return np.stack([image] * 3, axis=-1)
+    if image.shape[-1] == 1:
+        return np.concatenate([image] * 3, axis=-1)
+    if image.shape[-1] == 4:
+        return image[..., :3]
+    return image
+
+
+def brightness_shift(image, delta):
+    """Additive brightness in RGB space (`RandomBrightness`, delta in
+    [-32, 32])."""
+    return np.clip(image.astype(np.float32) + delta, 0, 255).astype(np.uint8)
+
+
+def contrast_scale(image, factor):
+    """Multiplicative contrast about 127.5 (`Contrast`, `:281`)."""
+    return np.clip(
+        127.5 + factor * (image.astype(np.float32) - 127.5), 0, 255
+    ).astype(np.uint8)
+
+
+def _rgb_to_hsv(image):
+    return cv2.cvtColor(image, cv2.COLOR_RGB2HSV)
+
+
+def _hsv_to_rgb(image):
+    return cv2.cvtColor(image, cv2.COLOR_HSV2RGB)
+
+
+def saturation_scale_hsv(hsv_f32, factor):
+    hsv = hsv_f32.copy()
+    hsv[..., 1] = np.clip(hsv[..., 1] * factor, 0, 255)
+    return hsv
+
+
+def hue_shift_hsv(hsv_f32, delta):
+    """delta in [-180, 180]; OpenCV hue channel wraps at 180."""
+    hsv = hsv_f32.copy()
+    hsv[..., 0] = (hsv[..., 0] + delta) % 180.0
+    return hsv
+
+
+def gamma_adjust(image, gamma):
+    """`Gamma` op (`photometric_ops.py:340`)."""
+    table = (255.0 * ((np.arange(256) / 255.0) ** (1.0 / gamma))).astype(np.uint8)
+    return table[image]
+
+
+def channel_swap(image, order=(2, 1, 0)):
+    return image[..., list(order)]
+
+
+class SSDPhotometricDistortions:
+    """The Caffe-SSD photometric pipeline
+    (`data_augmentation_chain_original_ssd.py:146-206`): brightness ->
+    (contrast early or late, 50/50) -> saturation -> hue, each applied with
+    p=0.5; parameters exactly as the reference."""
+
+    def __call__(self, image, labels, rng: np.random.Generator):
+        image = to_3_channels(image)
+        early_contrast = bool(rng.integers(0, 2))
+        if rng.random() < 0.5:
+            image = brightness_shift(image, rng.uniform(-32, 32))
+        if early_contrast and rng.random() < 0.5:
+            image = contrast_scale(image, rng.uniform(0.5, 1.5))
+        hsv = _rgb_to_hsv(image).astype(np.float32)
+        if rng.random() < 0.5:
+            hsv = saturation_scale_hsv(hsv, rng.uniform(0.5, 1.5))
+        if rng.random() < 0.5:
+            hsv = hue_shift_hsv(hsv, rng.uniform(-18, 18))
+        image = _hsv_to_rgb(np.clip(hsv, 0, 255).astype(np.uint8))
+        if not early_contrast and rng.random() < 0.5:
+            image = contrast_scale(image, rng.uniform(0.5, 1.5))
+        return image, labels
+
+
+# ---------------------------------------------------------------------------
+# geometric ops (`object_detection_2d_geometric_ops.py`)
+# ---------------------------------------------------------------------------
+
+def resize(image, labels, height, width, interpolation=None,
+           filter_degenerate=True, return_inverter=False):
+    """Resize + box rescale + optional degenerate-box drop (`Resize`, `:27`)."""
+    h0, w0 = image.shape[:2]
+    interp = interpolation if interpolation is not None else cv2.INTER_LINEAR
+    out = cv2.resize(image, (width, height), interpolation=interp)
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        labels[:, [1, 3]] *= width / w0
+        labels[:, [2, 4]] *= height / h0
+        if filter_degenerate:
+            keep = (labels[:, 3] - labels[:, 1] > 0) & (
+                labels[:, 4] - labels[:, 2] > 0
+            )
+            labels = labels[keep]
+
+    def inverter(boxes):
+        """boxes (m, >=5) with coords in the last four columns."""
+        boxes = np.asarray(boxes, np.float32).copy()
+        boxes[:, -4] *= w0 / width
+        boxes[:, -2] *= w0 / width
+        boxes[:, -3] *= h0 / height
+        boxes[:, -1] *= h0 / height
+        return boxes
+
+    if return_inverter:
+        return out, labels, inverter
+    return out, labels
+
+
+class ResizeRandomInterp:
+    def __init__(self, height=300, width=300):
+        self.height, self.width = height, width
+
+    def __call__(self, image, labels, rng, return_inverter=False):
+        interp = _interp_modes()[rng.integers(0, len(_interp_modes()))]
+        return resize(
+            image, labels, self.height, self.width, interp,
+            return_inverter=return_inverter,
+        )
+
+
+def horizontal_flip(image, labels):
+    image = image[:, ::-1]
+    if labels is not None and len(labels):
+        w = image.shape[1]
+        labels = labels.astype(np.float32).copy()
+        labels[:, [1, 3]] = w - labels[:, [3, 1]]
+    return image, labels
+
+
+def vertical_flip(image, labels):
+    image = image[::-1]
+    if labels is not None and len(labels):
+        h = image.shape[0]
+        labels = labels.astype(np.float32).copy()
+        labels[:, [2, 4]] = h - labels[:, [4, 2]]
+    return image, labels
+
+
+class RandomFlip:
+    def __init__(self, dim="horizontal", prob=0.5):
+        self.dim, self.prob = dim, prob
+
+    def __call__(self, image, labels, rng):
+        if rng.random() < self.prob:
+            flip = horizontal_flip if self.dim == "horizontal" else vertical_flip
+            return flip(image, labels)
+        return image, labels
+
+
+def translate(image, labels, dy, dx, background=(0, 0, 0), clip_boxes=True):
+    """Integer-pixel translate with canvas fill (`Translate`, `:233`)."""
+    h, w = image.shape[:2]
+    out = np.empty_like(image)
+    out[...] = np.asarray(background, image.dtype)
+    ys = slice(max(dy, 0), min(h + dy, h))
+    xs = slice(max(dx, 0), min(w + dx, w))
+    src_ys = slice(max(-dy, 0), min(h - dy, h))
+    src_xs = slice(max(-dx, 0), min(w - dx, w))
+    out[ys, xs] = image[src_ys, src_xs]
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        labels[:, [1, 3]] += dx
+        labels[:, [2, 4]] += dy
+        if clip_boxes:
+            labels[:, [1, 3]] = labels[:, [1, 3]].clip(0, w - 1)
+            labels[:, [2, 4]] = labels[:, [2, 4]].clip(0, h - 1)
+            keep = (labels[:, 3] - labels[:, 1] > 0) & (
+                labels[:, 4] - labels[:, 2] > 0
+            )
+            labels = labels[keep]
+    return out, labels
+
+
+def rotate90(image, labels, k=1):
+    """Rotate by k*90 degrees (the box-exact subset of `Rotate`, `:659`)."""
+    h, w = image.shape[:2]
+    out = np.rot90(image, k).copy()
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        for _ in range(k % 4):
+            x0, y0, x1, y1 = (labels[:, i].copy() for i in (1, 2, 3, 4))
+            labels[:, 1], labels[:, 3] = y0, y1
+            labels[:, 2], labels[:, 4] = w - x1, w - x0
+            h, w = w, h
+    return out, labels
+
+
+# ---------------------------------------------------------------------------
+# patch sampling (`object_detection_2d_patch_sampling_ops.py`)
+# ---------------------------------------------------------------------------
+
+def _iou_patch_boxes(patch, boxes):
+    """IoU between one patch (xmin,ymin,xmax,ymax) and (k,4) boxes, 'half'
+    border convention."""
+    ix = np.maximum(
+        0.0, np.minimum(patch[2], boxes[:, 2]) - np.maximum(patch[0], boxes[:, 0])
+    )
+    iy = np.maximum(
+        0.0, np.minimum(patch[3], boxes[:, 3]) - np.maximum(patch[1], boxes[:, 1])
+    )
+    inter = ix * iy
+    a_p = (patch[2] - patch[0]) * (patch[3] - patch[1])
+    a_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = a_p + a_b - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def crop_patch(image, labels, ymin, xmin, height, width,
+               background=(123, 117, 104), clip_boxes=True):
+    """Extract a patch (supports positions outside the image = expand-style
+    canvas fill), rewriting boxes into patch coordinates and keeping only
+    boxes whose CENTER lies in the patch (the Caffe-SSD 'center_point'
+    criterion, `data_augmentation_chain_original_ssd.py:70-74`)."""
+    h, w = image.shape[:2]
+    out = np.empty((height, width) + image.shape[2:], dtype=image.dtype)
+    out[...] = np.asarray(background, image.dtype)
+    # intersection of patch with image, in image coords
+    iy0, iy1 = max(ymin, 0), min(ymin + height, h)
+    ix0, ix1 = max(xmin, 0), min(xmin + width, w)
+    if iy1 > iy0 and ix1 > ix0:
+        out[iy0 - ymin : iy1 - ymin, ix0 - xmin : ix1 - xmin] = image[
+            iy0:iy1, ix0:ix1
+        ]
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        cx = (labels[:, 1] + labels[:, 3]) / 2 - xmin
+        cy = (labels[:, 2] + labels[:, 4]) / 2 - ymin
+        keep = (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+        labels = labels[keep]
+        labels[:, [1, 3]] -= xmin
+        labels[:, [2, 4]] -= ymin
+        if clip_boxes and len(labels):
+            labels[:, [1, 3]] = labels[:, [1, 3]].clip(0, width - 1)
+            labels[:, [2, 4]] = labels[:, [2, 4]].clip(0, height - 1)
+    return out, labels
+
+
+class SSDExpand:
+    """Random zoom-out: place the image on a 1x-4x mean-color canvas with
+    p=0.5 (`data_augmentation_chain_original_ssd.py:103-144`)."""
+
+    def __init__(self, background=(123, 117, 104)):
+        self.background = background
+
+    def __call__(self, image, labels, rng):
+        if rng.random() >= 0.5:
+            return image, labels
+        h, w = image.shape[:2]
+        scale = rng.uniform(1.0, 4.0)
+        ph, pw = int(round(scale * h)), int(round(scale * w))
+        ymin = -rng.integers(0, ph - h + 1)
+        xmin = -rng.integers(0, pw - w + 1)
+        return crop_patch(
+            image, labels, ymin, xmin, ph, pw, self.background, clip_boxes=False
+        )
+
+
+class SSDRandomCrop:
+    """Caffe-SSD min-IoU random crop
+    (`data_augmentation_chain_original_ssd.py:29-101`): sample a lower IoU
+    bound from {none, .1, .3, .5, .7, .9}; up to 50 trials of patches with
+    scale in [0.3, 1] per dim and aspect ratio in [0.5, 2]; a patch is valid
+    if >= 1 GT box has IoU >= bound; with p=0.143 per round, bail out and
+    return the input unchanged."""
+
+    SAMPLE_SPACE = (None, 0.1, 0.3, 0.5, 0.7, 0.9)
+
+    def __call__(self, image, labels, rng):
+        h, w = image.shape[:2]
+        while True:
+            bound = self.SAMPLE_SPACE[rng.integers(0, len(self.SAMPLE_SPACE))]
+            for _ in range(50):
+                if rng.random() >= 0.857:
+                    return image, labels
+                ph = int(round(rng.uniform(0.3, 1.0) * h))
+                pw = int(round(rng.uniform(0.3, 1.0) * w))
+                if ph < 1 or pw < 1:
+                    continue
+                ar = pw / ph
+                if not (0.5 <= ar <= 2.0):
+                    continue
+                ymin = int(rng.integers(0, h - ph + 1))
+                xmin = int(rng.integers(0, w - pw + 1))
+                if bound is not None and labels is not None and len(labels):
+                    patch = np.array(
+                        [xmin, ymin, xmin + pw, ymin + ph], np.float32
+                    )
+                    ious = _iou_patch_boxes(patch, labels[:, 1:5])
+                    if not (ious >= bound).any():
+                        continue
+                return crop_patch(
+                    image, labels, ymin, xmin, ph, pw, clip_boxes=True
+                )
+
+
+class SSDDataAugmentation:
+    """The full Caffe-SSD training chain: photometric -> expand -> random
+    crop -> random hflip -> resize(300) with random interpolation
+    (`data_augmentation_chain_original_ssd.py:208-280`)."""
+
+    def __init__(self, img_height=300, img_width=300,
+                 background=(123, 117, 104), crop=True):
+        self.photometric = SSDPhotometricDistortions()
+        self.expand = SSDExpand(background)
+        self.crop = SSDRandomCrop() if crop else None
+        self.flip = RandomFlip("horizontal", 0.5)
+        self.resize = ResizeRandomInterp(img_height, img_width)
+
+    def __call__(self, image, labels, rng, return_inverter=False):
+        image, labels = self.photometric(image, labels, rng)
+        image, labels = self.expand(image, labels, rng)
+        if self.crop is not None:
+            image, labels = self.crop(image, labels, rng)
+        image, labels = self.flip(image, labels, rng)
+        return self.resize(image, labels, rng, return_inverter=return_inverter)
+
+
+def SSDDataAugmentationNoCrop(img_height=300, img_width=300,
+                              background=(123, 117, 104)):
+    """`--no_crop` chain variant (`data_augmentation_chain_original_ssd_no_crop.py:208`)."""
+    return SSDDataAugmentation(img_height, img_width, background, crop=False)
+
+
+# ---------------------------------------------------------------------------
+# classification photometric helpers (`classification_part/.../helper.py`)
+# ---------------------------------------------------------------------------
+
+def grayscale(rgb):
+    return rgb.dot([0.299, 0.587, 0.114])
+
+
+def cls_saturation(rgb, rng, var=0.5):
+    gs = grayscale(rgb)
+    alpha = 1.0 + rng.uniform(-var, var)
+    out = rgb * alpha + (1 - alpha) * gs[:, :, None]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def cls_brightness(rgb, rng, var=0.5):
+    alpha = 1.0 + rng.uniform(-var, var)
+    return np.clip(rgb * alpha, 0, 255).astype(np.uint8)
+
+
+def cls_contrast(rgb, rng, var=0.5):
+    gs = grayscale(rgb).mean() * np.ones_like(rgb, dtype=np.float64)
+    alpha = 1.0 + rng.uniform(-var, var)
+    return np.clip(rgb * alpha + (1 - alpha) * gs, 0, 255).astype(np.uint8)
+
+
+def cls_lighting(img, rng, std=0.5):
+    """AlexNet-style PCA color augmentation (`helper.py:39-45`)."""
+    cov = np.cov(img.reshape(-1, 3) / 255.0, rowvar=False)
+    eigval, eigvec = np.linalg.eigh(cov)
+    noise = eigvec.dot(eigval * rng.normal(0, std, 3)) * 255
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+CLASSIFICATION_TRANSFORMS = (cls_lighting, cls_contrast, cls_brightness,
+                             cls_saturation)
+
+
+def classification_train_view(image, rng, size=224,
+                              transforms=CLASSIFICATION_TRANSFORMS):
+    """The reference's ImageNet training view (`generators.py:141-177`):
+    scale shorter side to `size`, random crop, random hflip, then each
+    photometric transform in shuffled order with p=0.5."""
+    h, w = image.shape[:2]
+    if h < w:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    else:
+        nh, nw = max(size, int(round(h * size / w))), size
+    image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    oy = int(rng.integers(0, nh - size + 1))
+    ox = int(rng.integers(0, nw - size + 1))
+    image = image[oy : oy + size, ox : ox + size]
+    if rng.random() < 0.5:
+        image = image[:, ::-1]
+    order = rng.permutation(len(transforms))
+    for i in order:
+        if rng.random() < 0.5:
+            image = transforms[i](image, rng)
+    return np.ascontiguousarray(image)
+
+
+def classification_eval_view(image, size=224):
+    """Plain resize to (size, size) (`generators.py:161-163`)."""
+    return cv2.resize(image, (size, size), interpolation=cv2.INTER_LINEAR)

@@ -1,0 +1,230 @@
+"""Host-side input pipelines: threaded decode/augment -> DCT -> device batches.
+
+Replaces the reference's Keras `Sequence` generators + `fit_generator(workers=4,
+use_multiprocessing=True)` (`classification_part/training.py:179-198`,
+`localisation_part/.../object_detection_2d_data_generator_dct_j2d.py:843-1195`)
+with a deterministic, explicitly-seeded pipeline:
+
+  * per-epoch shuffle from a seeded generator (reproducible; per-host sharding
+    composes via `dataset.shard` — an improvement over the reference's
+    independent per-rank shuffles, SURVEY.md §5.7);
+  * a thread pool runs the per-image work (PIL decode, augmentation chain,
+    JPEG re-encode, native DCT decode) — libjpeg/cv2/ctypes release the GIL,
+    so threads scale without the reference's fork-based worker quirks;
+  * target encoding runs as ONE jit-compiled batched XLA program
+    (`boxes.TargetEncoder`) instead of per-image NumPy;
+  * `prefetch_to_device` double-buffers host->device transfers.
+
+Input formats (matching the reference's generator variants):
+  'dct'        -> (y, cbcr)           DCTGeneratorJPEG2DCT / DataGeneratorDCT
+  'dct_deconv' -> (y, cb, cr)         ...JPEG2DCTDeconv / DataGeneratorDeconvDCT
+  'rgb'        -> float32 image       DataGenerator (RGB SSD)
+  'dct_image'  -> (H, W, 3) DCT plane jpegdecoder path (DataGeneratorDCT _dct.py)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable
+
+import numpy as np
+from PIL import Image
+
+from jpeg_detection_resnet_ssd_tpu.data import augment as aug
+from jpeg_detection_resnet_ssd_tpu.data.dct_convert import (
+    rgb_to_dct_image,
+    rgb_to_dct_tensors,
+    split_cbcr,
+)
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _pack_inputs(images: list[np.ndarray], input_format: str):
+    if input_format == "rgb":
+        return np.stack(images).astype(np.float32)
+    if input_format == "dct_image":
+        return np.stack(
+            [rgb_to_dct_image(im) for im in images]
+        ).astype(np.float32)
+    ys, cbcrs = zip(*(rgb_to_dct_tensors(im) for im in images))
+    y = np.stack(ys).astype(np.float32)
+    cbcr = np.stack(cbcrs).astype(np.float32)
+    if input_format == "dct_deconv":
+        cb, cr = cbcr[..., :64], cbcr[..., 64:]
+        return (y, cb, cr)
+    if input_format == "dct":
+        return (y, cbcr)
+    raise ValueError(f"unknown input_format {input_format!r}")
+
+
+class _BasePipeline:
+    def __init__(self, dataset, batch_size: int, *, train: bool,
+                 input_format: str = "dct", seed: int = 0,
+                 num_workers: int = 8, drop_remainder: bool | None = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.input_format = input_format
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_remainder = train if drop_remainder is None else drop_remainder
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self):
+        order = np.arange(len(self.dataset))
+        if self.train:
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        self._epoch += 1
+        return order
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self._epoch, int(index)))
+
+    def __iter__(self):
+        order = self._epoch_order()
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            items = list(self._pool.map(self._prepare_item, idx))
+            yield self._collate(items)
+
+    def _prepare_item(self, index):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _collate(self, items):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class ClassificationPipeline(_BasePipeline):
+    """ImageNet-style pipeline: role of `DCTGeneratorJPEG2DCT[Deconv]` /
+    `DCTGeneratorImageNet` (`generators.py:39-472`).
+
+    Yields {'inputs': ..., 'labels': int32 (B,)}.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, train: bool,
+                 input_format: str = "dct", image_size: int = 224, **kw):
+        super().__init__(dataset, batch_size, train=train,
+                         input_format=input_format, **kw)
+        self.image_size = image_size
+
+    def _prepare_item(self, index):
+        path, label = self.dataset[int(index)]
+        image = _load_rgb(path)
+        if self.train:
+            image = aug.classification_train_view(
+                image, self._item_rng(index), self.image_size
+            )
+        else:
+            image = aug.classification_eval_view(image, self.image_size)
+        return image, label
+
+    def _collate(self, items):
+        images = [im for im, _ in items]
+        labels = np.asarray([lab for _, lab in items], np.int32)
+        return {
+            "inputs": _pack_inputs(images, self.input_format),
+            "labels": labels,
+        }
+
+
+class DetectionPipeline(_BasePipeline):
+    """Pascal-VOC-style pipeline: role of `DataGenerator[Deconv]DCT.generate`
+    (`_dct_j2d.py:843-1195`).
+
+    Training (`encoder` set): yields {'inputs', 'targets'} with targets from
+    the jit-compiled `TargetEncoder`.  Evaluation (`encoder=None`): yields
+    {'inputs', 'labels', 'image_ids', 'inverters'} where inverters map
+    predicted boxes back to original image coordinates (the reference's
+    `apply_inverse_transforms` contract).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, train: bool,
+                 encoder=None, augmentation: Callable | None = None,
+                 input_format: str = "dct", img_height: int = 300,
+                 img_width: int = 300, max_gt: int = 64, **kw):
+        super().__init__(dataset, batch_size, train=train,
+                         input_format=input_format, **kw)
+        self.encoder = encoder
+        self.img_height, self.img_width = img_height, img_width
+        self.max_gt = max_gt
+        if augmentation is None and train:
+            augmentation = aug.SSDDataAugmentation(img_height, img_width)
+        self.augmentation = augmentation
+
+    def _prepare_item(self, index):
+        rec = self.dataset[int(index)]
+        image = _load_rgb(rec["image_path"])
+        labels = rec["boxes"].copy()
+        inverter = None
+        if self.augmentation is not None:
+            image, labels = self.augmentation(
+                image, labels, self._item_rng(index)
+            )
+        else:
+            image = aug.to_3_channels(image)
+            image, labels, inverter = aug.resize(
+                image, labels, self.img_height, self.img_width,
+                return_inverter=True,
+            )
+        return image, labels, rec.get("image_id"), inverter
+
+    def _collate(self, items):
+        images = [im for im, _, _, _ in items]
+        labels_list = [lab for _, lab, _, _ in items]
+        batch: dict[str, Any] = {
+            "inputs": _pack_inputs(images, self.input_format)
+        }
+        if self.encoder is not None:
+            gt, mask = self.encoder.pad_labels(labels_list, self.max_gt)
+            batch["targets"] = np.asarray(self.encoder(gt, mask))
+        else:
+            batch["labels"] = labels_list
+            batch["image_ids"] = [iid for _, _, iid, _ in items]
+            batch["inverters"] = [inv for _, _, _, inv in items]
+        return batch
+
+
+def prefetch_to_device(iterator, size: int = 2, device_put: bool = True):
+    """Double-buffered prefetch: a background thread stages the next batches
+    (optionally already on device) while the current step runs — the role of
+    Keras' generator workers + implicit feed pipelining."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if device_put:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x)
+                        if isinstance(x, np.ndarray)
+                        else x,
+                        batch,
+                    )
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,258 @@
+"""Datasets, augmentation ops and input pipelines over a synthetic mini-corpus."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+from jpeg_detection_resnet_ssd_tpu.data import (
+    ClassificationPipeline,
+    DetectionDataset,
+    DetectionPipeline,
+    ImageFolderDataset,
+    parse_detection_csv,
+    parse_voc_xml,
+)
+from jpeg_detection_resnet_ssd_tpu.data import augment as aug
+
+SSD300_PREDICTOR_SIZES = ((38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1))
+
+
+def _write_jpeg(path, size=(120, 160), seed=0):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path, "jpeg")
+
+
+@pytest.fixture
+def imagenet_root(tmp_path):
+    root = tmp_path / "imagenet"
+    for i, wnid in enumerate(["n01440764", "n01443537", "n01484850"]):
+        d = root / wnid
+        d.mkdir(parents=True)
+        for j in range(3):
+            _write_jpeg(str(d / f"img_{j}.JPEG".lower()), seed=i * 10 + j)
+    return str(root)
+
+
+@pytest.fixture
+def voc_root(tmp_path):
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets").mkdir()
+    ids = []
+    for i in range(4):
+        image_id = f"00000{i}"
+        ids.append(image_id)
+        _write_jpeg(str(root / "JPEGImages" / f"{image_id}.jpg"),
+                    size=(200, 300), seed=i)
+        xml = f"""<annotation>
+  <size><width>300</width><height>200</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult><truncated>0</truncated>
+    <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>110</xmax><ymax>120</ymax></bndbox>
+  </object>
+  <object><name>person</name><difficult>1</difficult><truncated>0</truncated>
+    <bndbox><xmin>150</xmin><ymin>50</ymin><xmax>250</xmax><ymax>150</ymax></bndbox>
+  </object>
+</annotation>"""
+        (root / "Annotations" / f"{image_id}.xml").write_text(xml)
+    (root / "ImageSets" / "trainval.txt").write_text("\n".join(ids) + "\n")
+    return str(root)
+
+
+class TestDatasets:
+    def test_image_folder(self, imagenet_root):
+        ds = ImageFolderDataset(imagenet_root)
+        assert len(ds) == 9
+        assert ds.num_classes == 3
+        path, label = ds[0]
+        assert os.path.exists(path) and label == 0
+        s0, s1 = ds.shard(0, 2), ds.shard(1, 2)
+        assert len(s0) + len(s1) == 9
+        assert set(p for p, _ in s0.samples).isdisjoint(
+            p for p, _ in s1.samples
+        )
+
+    def test_voc_parse(self, voc_root):
+        recs = parse_voc_xml(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        assert len(recs) == 4
+        r = recs[0]
+        assert r["boxes"].shape == (2, 5)
+        assert r["boxes"][0, 0] == 12  # 'dog' -> class 12 (1-indexed VOC order)
+        assert r["boxes"][1, 0] == 15  # 'person'
+        np.testing.assert_allclose(r["boxes"][0, 1:], [10, 20, 110, 120])
+        assert list(r["difficult"]) == [False, True]
+
+    def test_voc_exclude_difficult(self, voc_root):
+        recs = parse_voc_xml(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+            include_difficult=False,
+        )
+        assert recs[0]["boxes"].shape == (1, 5)
+
+    def test_csv_parse(self, tmp_path, voc_root):
+        csv_path = tmp_path / "labels.csv"
+        csv_path.write_text(
+            "image_name,xmin,xmax,ymin,ymax,class_id\n"
+            "000000.jpg,10,110,20,120,3\n"
+            "000000.jpg,5,50,5,50,1\n"
+        )
+        recs = parse_detection_csv(
+            str(csv_path), os.path.join(voc_root, "JPEGImages")
+        )
+        assert len(recs) == 1 and recs[0]["boxes"].shape == (2, 5)
+        np.testing.assert_allclose(recs[0]["boxes"][0], [3, 10, 20, 110, 120])
+
+    def test_dataset_save_load(self, voc_root, tmp_path):
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        p = str(tmp_path / "ds.pkl")
+        ds.save(p)
+        ds2 = DetectionDataset.load(p)
+        assert len(ds2) == len(ds)
+
+
+class TestAugment:
+    def test_hflip_boxes(self):
+        img = np.zeros((100, 200, 3), np.uint8)
+        labels = np.array([[1, 10, 20, 60, 80]], np.float32)
+        out, lab = aug.horizontal_flip(img, labels)
+        np.testing.assert_allclose(lab[0], [1, 140, 20, 190, 80])
+
+    def test_crop_patch_center_criterion(self):
+        img = np.full((100, 100, 3), 50, np.uint8)
+        labels = np.array(
+            [[1, 10, 10, 30, 30],      # center (20,20) inside patch
+             [2, 70, 70, 95, 95]],     # center (82.5,82.5) outside
+            np.float32,
+        )
+        out, lab = aug.crop_patch(img, labels, 0, 0, 50, 50)
+        assert out.shape == (50, 50, 3)
+        assert lab.shape == (1, 5) and lab[0, 0] == 1
+
+    def test_expand_keeps_boxes(self, rng):
+        img = np.full((60, 80, 3), 100, np.uint8)
+        labels = np.array([[1, 10, 10, 40, 40]], np.float32)
+        ex = aug.SSDExpand()
+        for _ in range(10):
+            out, lab = ex(img, labels, rng)
+            assert lab.shape == (1, 5)
+            # box size preserved by pure translation/canvas placement
+            np.testing.assert_allclose(lab[0, 3] - lab[0, 1], 30)
+
+    def test_ssd_random_crop_terminates_and_valid(self, rng):
+        img = np.full((120, 120, 3), 100, np.uint8)
+        labels = np.array([[1, 30, 30, 90, 90]], np.float32)
+        crop = aug.SSDRandomCrop()
+        for _ in range(10):
+            out, lab = crop(img, labels, rng)
+            assert out.ndim == 3
+            if lab is not None and len(lab):
+                assert (lab[:, 3] > lab[:, 1]).all()
+
+    def test_photometric_chain_ranges(self, rng):
+        img = np.full((32, 32, 3), 128, np.uint8)
+        out, _ = aug.SSDPhotometricDistortions()(img, None, rng)
+        assert out.dtype == np.uint8 and out.shape == (32, 32, 3)
+
+    def test_resize_inverter_roundtrip(self):
+        img = np.zeros((150, 100, 3), np.uint8)
+        labels = np.array([[1, 10, 30, 50, 90]], np.float32)
+        out, lab, inv = aug.resize(img, labels, 300, 300, return_inverter=True)
+        assert out.shape == (300, 300, 3)
+        back = inv(lab)
+        np.testing.assert_allclose(back[0, 1:], [10, 30, 50, 90], atol=1e-4)
+
+    def test_classification_views(self, rng):
+        img = (rng.uniform(0, 255, (180, 240, 3))).astype(np.uint8)
+        train = aug.classification_train_view(img, rng)
+        assert train.shape == (224, 224, 3)
+        ev = aug.classification_eval_view(img)
+        assert ev.shape == (224, 224, 3)
+
+    def test_rotate90_boxes(self):
+        img = np.zeros((100, 200, 3), np.uint8)
+        labels = np.array([[1, 10, 20, 60, 80]], np.float32)
+        out, lab = aug.rotate90(img, labels, 1)
+        assert out.shape == (200, 100, 3)
+        # 90 deg CCW: new_x = y, new_y = W - x
+        np.testing.assert_allclose(lab[0], [1, 20, 140, 80, 190])
+
+
+class TestPipelines:
+    def test_classification_dct(self, imagenet_root):
+        ds = ImageFolderDataset(imagenet_root)
+        pipe = ClassificationPipeline(ds, 4, train=True, input_format="dct",
+                                      num_workers=2)
+        batch = next(iter(pipe))
+        y, cbcr = batch["inputs"]
+        assert y.shape == (4, 28, 28, 64)
+        assert cbcr.shape == (4, 14, 14, 128)
+        assert batch["labels"].shape == (4,)
+
+    def test_classification_deconv_and_rgb(self, imagenet_root):
+        ds = ImageFolderDataset(imagenet_root)
+        b = next(iter(ClassificationPipeline(
+            ds, 2, train=False, input_format="dct_deconv", num_workers=2)))
+        y, cb, cr = b["inputs"]
+        assert cb.shape == (2, 14, 14, 64) and cr.shape == (2, 14, 14, 64)
+        b = next(iter(ClassificationPipeline(
+            ds, 2, train=False, input_format="rgb", num_workers=2)))
+        assert b["inputs"].shape == (2, 224, 224, 3)
+
+    def test_detection_training_targets(self, voc_root):
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        enc = TargetEncoder(
+            spec=AnchorSpec(), predictor_sizes=SSD300_PREDICTOR_SIZES,
+            n_classes=20,
+        )
+        pipe = DetectionPipeline(ds, 2, train=True, encoder=enc,
+                                 num_workers=2)
+        batch = next(iter(pipe))
+        y, cbcr = batch["inputs"]
+        assert y.shape == (2, 38, 38, 64)
+        assert cbcr.shape == (2, 19, 19, 128)
+        assert batch["targets"].shape == (2, 8732, 33)
+        # there must be at least one positive anchor per image with GT
+        pos = batch["targets"][..., 1:21].max(-1)
+        assert (pos.sum(axis=1) >= 1).all()
+
+    def test_detection_eval_mode(self, voc_root):
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        pipe = DetectionPipeline(ds, 2, train=False, encoder=None,
+                                 num_workers=2)
+        batch = next(iter(pipe))
+        assert len(batch["image_ids"]) == 2
+        inv = batch["inverters"][0]
+        # boxes at resized 300x300 scale map back to 300x200 original
+        boxes = np.array([[1.0, 0.9, 0, 0, 300, 300]])
+        back = inv(boxes)
+        np.testing.assert_allclose(back[0, -4:], [0, 0, 300, 200], atol=1e-3)
+
+    def test_epoch_determinism(self, imagenet_root):
+        ds = ImageFolderDataset(imagenet_root)
+        p1 = ClassificationPipeline(ds, 4, train=True, seed=7, num_workers=2)
+        p2 = ClassificationPipeline(ds, 4, train=True, seed=7, num_workers=2)
+        b1, b2 = next(iter(p1)), next(iter(p2))
+        np.testing.assert_array_equal(b1["labels"], b2["labels"])
+        np.testing.assert_allclose(b1["inputs"][0], b2["inputs"][0])
