@@ -178,13 +178,16 @@ class DetectionPipeline(_BasePipeline):
             image = aug.to_3_channels(image)
             image, labels, inverter = aug.resize(
                 image, labels, self.img_height, self.img_width,
-                return_inverter=True,
+                filter_degenerate=False, return_inverter=True,
             )
-        return image, labels, rec.get("image_id"), inverter
+        difficult = rec.get(
+            "difficult", np.zeros(len(rec["boxes"]), bool)
+        )
+        return image, labels, rec.get("image_id"), inverter, rec, difficult
 
     def _collate(self, items):
-        images = [im for im, _, _, _ in items]
-        labels_list = [lab for _, lab, _, _ in items]
+        images = [it[0] for it in items]
+        labels_list = [it[1] for it in items]
         batch: dict[str, Any] = {
             "inputs": _pack_inputs(images, self.input_format)
         }
@@ -192,9 +195,12 @@ class DetectionPipeline(_BasePipeline):
             gt, mask = self.encoder.pad_labels(labels_list, self.max_gt)
             batch["targets"] = np.asarray(self.encoder(gt, mask))
         else:
-            batch["labels"] = labels_list
-            batch["image_ids"] = [iid for _, _, iid, _ in items]
-            batch["inverters"] = [inv for _, _, _, inv in items]
+            # Evaluation contract: original-coordinate GT + inverse transforms
+            # (`average_precision_evaluator.py:323-422`).
+            batch["labels"] = [it[4]["boxes"] for it in items]
+            batch["image_ids"] = [it[2] for it in items]
+            batch["inverters"] = [it[3] for it in items]
+            batch["difficult"] = [it[5] for it in items]
         return batch
 
 
