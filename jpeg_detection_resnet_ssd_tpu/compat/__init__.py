@@ -1,0 +1,6 @@
+from jpeg_detection_resnet_ssd_tpu.compat.h5_import import (
+    load_keras_h5_weights,
+    import_weights_by_name,
+    list_h5_layers,
+)
+from jpeg_detection_resnet_ssd_tpu.compat.surgery import sample_tensors

@@ -1,0 +1,129 @@
+"""H5 weight import (by-name semantics) + tensor-sampling surgery."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax
+
+from jpeg_detection_resnet_ssd_tpu.compat import (
+    import_weights_by_name,
+    list_h5_layers,
+    sample_tensors,
+)
+from jpeg_detection_resnet_ssd_tpu.models import build_model
+
+
+def write_keras_h5(path, layers):
+    """Write a Keras-layout weights H5: {layer: {weight_name: array}}."""
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        g.attrs["layer_names"] = np.array(
+            [n.encode() for n in layers], dtype="S64"
+        )
+        for lname, weights in layers.items():
+            grp = g.create_group(lname)
+            wnames = [f"{lname}/{w}:0" for w in weights]
+            grp.attrs["weight_names"] = np.array(
+                [w.encode() for w in wnames], dtype="S128"
+            )
+            for wn, (short, arr) in zip(wnames, weights.items()):
+                grp.create_dataset(wn, data=arr)
+    return path
+
+
+def test_import_by_name_resnet(tmp_path):
+    module, example = build_model("resnet50_rgb", num_classes=10)
+    variables = module.init(jax.random.PRNGKey(0), example(), train=False)
+
+    conv1 = np.random.default_rng(0).normal(0, 1, (7, 7, 3, 64)).astype("f4")
+    bn_gamma = np.full(64, 2.5, "f4")
+    bn_mean = np.full(64, 0.3, "f4")
+    h5 = write_keras_h5(
+        str(tmp_path / "w.h5"),
+        {
+            "conv1": {"kernel": conv1, "bias": np.ones(64, "f4")},
+            "bn_conv1": {
+                "gamma": bn_gamma,
+                "beta": np.zeros(64, "f4"),
+                "moving_mean": bn_mean,
+                "moving_variance": np.ones(64, "f4"),
+            },
+            "unknown_layer": {"kernel": np.ones((3, 3, 4, 4), "f4")},
+            "fc1000": {"kernel": np.ones((2048, 1000), "f4"),
+                       "bias": np.zeros(1000, "f4")},  # 10-class model: mismatch
+        },
+    )
+    new_vars, report = import_weights_by_name(variables, h5)
+    assert "conv1" in report["loaded"] and "bn_conv1" in report["loaded"]
+    assert "unknown_layer" in report["skipped"]
+    assert "fc1000" in report["mismatched"]  # shape mismatch -> untouched
+    np.testing.assert_allclose(new_vars["params"]["conv1"]["kernel"], conv1)
+    np.testing.assert_allclose(new_vars["params"]["bn_conv1"]["scale"], bn_gamma)
+    np.testing.assert_allclose(
+        new_vars["batch_stats"]["bn_conv1"]["mean"], bn_mean
+    )
+    # forward still works with imported weights
+    out = module.apply(new_vars, example()[0:1][0] if False else example(),
+                       train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_import_nested_head_scope(tmp_path):
+    module, example = build_model("ssd300_ssd_custom", n_classes=20)
+    variables = module.init(jax.random.PRNGKey(0), example(), train=False)
+    k = np.random.default_rng(1).normal(
+        0, 1, variables["params"]["head"]["conv4_3_norm_mbox_loc"]["kernel"].shape
+    ).astype("f4")
+    gamma = np.full(384, 23.0, "f4")
+    h5 = write_keras_h5(
+        str(tmp_path / "w.h5"),
+        {
+            "conv4_3_norm_mbox_loc": {
+                "kernel": k,
+                "bias": np.zeros(k.shape[-1], "f4"),
+            },
+            "conv4_3_norm": {"conv4_3_norm_gamma": gamma},
+        },
+    )
+    new_vars, report = import_weights_by_name(variables, h5)
+    assert set(report["loaded"]) == {"conv4_3_norm_mbox_loc", "conv4_3_norm"}
+    np.testing.assert_allclose(
+        new_vars["params"]["head"]["conv4_3_norm_mbox_loc"]["kernel"], k
+    )
+    np.testing.assert_allclose(
+        new_vars["params"]["conv4_3_norm"]["gamma"], gamma
+    )
+
+
+def test_list_h5_layers(tmp_path):
+    h5 = write_keras_h5(
+        str(tmp_path / "w.h5"),
+        {"conv1": {"kernel": np.ones((3, 3, 3, 8), "f4")}},
+    )
+    layers = list_h5_layers(h5)
+    assert layers["conv1"][0][1] == (3, 3, 3, 8)
+
+
+class TestSurgery:
+    def test_downsample(self):
+        w = np.arange(24, dtype="f4").reshape(2, 3, 4)
+        (out,), idx = sample_tensors([w], [2, 3, 2], axes=[2])
+        assert out.shape == (2, 3, 2)
+        assert idx[2] is not None and len(idx[2]) == 2
+
+    def test_upsample(self):
+        w = np.ones((3, 4), "f4")
+        (out,), _ = sample_tensors([w], [3, 6], axes=[1])
+        assert out.shape == (3, 6)
+        np.testing.assert_allclose(out[:, :4], 1.0)
+
+    def test_listed_indices(self):
+        k = np.arange(12, dtype="f4").reshape(3, 4)
+        (k2,), idx = sample_tensors([k], [3, [0, 2]], axes=[1])
+        np.testing.assert_allclose(k2, k[:, [0, 2]])
+        # bias sampled with the same explicit indices
+        b = np.arange(4, dtype="f4")
+        (b2,), _ = sample_tensors([b], [[0, 2]], axes=[0])
+        np.testing.assert_allclose(b2, [0, 2])
