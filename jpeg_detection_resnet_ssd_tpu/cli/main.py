@@ -1,0 +1,420 @@
+"""CLI: train / evaluate / infer / bench / compute-map subcommands.
+
+Flag names follow the reference scripts where they exist (SURVEY.md §2.3/§2.4):
+`--archi`, `--restart`, `--crop/--no_crop`, `--reg/--no_reg`, `--p07/--p07p12`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_train_common(p):
+    p.add_argument("--archi", default=None, help="architecture variant")
+    p.add_argument("--restart", action="store_true")
+    p.add_argument("--config", default=None, help="path to a config JSON")
+    p.add_argument("--output-dir", default="experiments")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--pretrained-weights", default=None,
+                   help="Keras H5 for by-name transfer")
+    p.add_argument("--n-model-shards", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=8)
+
+
+def _load_config(args, defaults):
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+
+    if args.config:
+        config = ExperimentConfig.load(args.config)
+    else:
+        config = ExperimentConfig(**defaults)
+    for field, attr in [
+        ("batch_size", "batch_size"), ("epochs", "epochs"),
+        ("steps_per_epoch", "steps_per_epoch"),
+        ("output_dir", "output_dir"),
+        ("pretrained_weights", "pretrained_weights"),
+        ("n_model_shards", "n_model_shards"),
+        ("num_workers", "num_workers"),
+    ]:
+        v = getattr(args, attr, None)
+        if v is not None:
+            setattr(config, field, v)
+    config.restart = bool(args.restart)
+    return config
+
+
+def _maybe_import_pretrained(config, trainer, example_inputs):
+    import jax
+
+    from jpeg_detection_resnet_ssd_tpu.compat import import_weights_by_name
+
+    if not config.pretrained_weights:
+        return None
+    from jpeg_detection_resnet_ssd_tpu.models import build_model
+
+    module, _ = build_model(config.model, **config.model_kwargs)
+    variables = module.init(
+        jax.random.PRNGKey(config.seed), example_inputs(), train=False
+    )
+    variables, report = import_weights_by_name(
+        variables, config.pretrained_weights, verbose=True
+    )
+    return variables
+
+
+def cmd_train_classify(args):
+    from jpeg_detection_resnet_ssd_tpu.data import (
+        ClassificationPipeline,
+        ImageFolderDataset,
+    )
+    from jpeg_detection_resnet_ssd_tpu.train.config import create_run_dir
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer, fit
+
+    archi = args.archi or "late_concat_rfa_thinner"
+    model = "resnet50_rgb" if archi == "rgb" else f"resnet50_dct_{archi}"
+    input_format = (
+        "rgb" if archi == "rgb"
+        else "dct_deconv" if archi == "deconv" else "dct"
+    )
+    config = _load_config(
+        args,
+        dict(
+            model=model, task="classification", input_format=input_format,
+            model_kwargs={"num_classes": 1000},
+            learning_rate=0.1, nesterov=True, lr_decay=1e-4,
+            l2_regularization=0.0, batch_size=256, epochs=120,
+            steps_per_epoch=5000, warmup_epochs=5,
+        ),
+    )
+    ds = ImageFolderDataset(args.train_dir, args.class_index_json)
+    import jax
+
+    ds = ds.shard(jax.process_index(), jax.process_count())
+    pipe = ClassificationPipeline(
+        ds, config.batch_size, train=True,
+        input_format=config.input_format, num_workers=config.num_workers,
+        seed=config.seed,
+    )
+    run_dir = create_run_dir(config)
+    print(f"run dir: {run_dir}")
+    trainer, module, example_inputs = build_trainer(config)
+    init_vars = _maybe_import_pretrained(config, trainer, example_inputs)
+    state, history = fit(
+        config, pipe, run_dir=run_dir, max_steps=args.max_steps,
+        init_variables=init_vars, mesh=trainer.mesh,
+    )
+    print(json.dumps(history[-1] if history else {}))
+
+
+def cmd_train_detect(args):
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+    from jpeg_detection_resnet_ssd_tpu.data import (
+        DetectionDataset,
+        DetectionPipeline,
+    )
+    from jpeg_detection_resnet_ssd_tpu.data.augment import SSDDataAugmentation
+    from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
+    from jpeg_detection_resnet_ssd_tpu.train.config import create_run_dir
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer, fit
+
+    archi = args.archi or "ssd_custom"
+    model = f"ssd300_{archi}" if not args.vgg else "ssd300_vgg_dct"
+    family = "resnet_custom" if archi == "ssd_custom" else "resnet_identical"
+    if args.vgg:
+        family = "vgg_dct"
+    input_format = "dct_deconv" if archi == "deconv" and not args.vgg else "dct"
+    config = _load_config(
+        args,
+        dict(
+            model=model, task="detection", input_format=input_format,
+            model_kwargs={"n_classes": 20},
+            learning_rate=1e-3,
+            l2_regularization=5e-4 if args.reg else 0.0,
+            batch_size=32, epochs=480, steps_per_epoch=1000,
+        ),
+    )
+    sets = []
+    for root in args.voc_root:
+        name = "trainval.txt"
+        sets.append(
+            (
+                os.path.join(root, "JPEGImages"),
+                os.path.join(root, "ImageSets", "Main", name),
+                os.path.join(root, "Annotations"),
+            )
+        )
+    ds = DetectionDataset.from_voc(
+        [s[0] for s in sets], [s[1] for s in sets], [s[2] for s in sets]
+    )
+    import jax
+
+    ds = ds.shard(jax.process_index(), jax.process_count())
+    encoder = TargetEncoder(
+        spec=AnchorSpec(),
+        predictor_sizes=ssd_predictor_sizes(family),
+        n_classes=20,
+    )
+    augmentation = SSDDataAugmentation(crop=args.crop)
+    pipe = DetectionPipeline(
+        ds, config.batch_size, train=True, encoder=encoder,
+        augmentation=augmentation, input_format=config.input_format,
+        num_workers=config.num_workers, seed=config.seed,
+    )
+    run_dir = create_run_dir(config)
+    print(f"run dir: {run_dir}")
+    trainer, module, example_inputs = build_trainer(config)
+    init_vars = _maybe_import_pretrained(config, trainer, example_inputs)
+    state, history = fit(
+        config, pipe, run_dir=run_dir, max_steps=args.max_steps,
+        init_variables=init_vars, mesh=trainer.mesh,
+    )
+    print(json.dumps(history[-1] if history else {}))
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.data import (
+        DetectionDataset,
+        DetectionPipeline,
+    )
+    from jpeg_detection_resnet_ssd_tpu.eval import (
+        DetectionEvaluator,
+        write_voc_detection_files,
+    )
+    from jpeg_detection_resnet_ssd_tpu.models import (
+        build_model,
+        make_inference_fn,
+    )
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+    config = ExperimentConfig.load(
+        os.path.join(args.run_dir, "saved_config.json")
+    )
+    trainer, module, example_inputs = build_trainer(config)
+    from jpeg_detection_resnet_ssd_tpu.train.checkpoints import (
+        CheckpointManager,
+    )
+
+    with trainer.mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), example_inputs())
+        ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
+        state = ckpt.restore(state)
+
+        decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+
+        @jax.jit
+        def infer(inputs):
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            return decode(module.apply(variables, inputs, train=False))
+
+        ds = DetectionDataset.from_voc(
+            os.path.join(args.voc_root, "JPEGImages"),
+            os.path.join(args.voc_root, "ImageSets", "Main", args.image_set),
+            os.path.join(args.voc_root, "Annotations"),
+        )
+        pipe = DetectionPipeline(
+            ds, args.batch_size, train=False, encoder=None,
+            input_format=config.input_format, num_workers=config.num_workers,
+        )
+        ev = DetectionEvaluator(infer, pipe, n_classes=20)
+        mean_ap, aps, _ = ev(average_precision_mode=args.ap_mode)
+    if args.out_dir:
+        write_voc_detection_files(ev.prediction_results, args.out_dir)
+    print(json.dumps({"mAP": mean_ap, "AP": aps[1:]}))
+
+
+def cmd_compute_map(args):
+    """Offline mAP from VOC-format txt predictions + XML ground truth
+    (role of `localisation_part/compute_map.py`)."""
+    from jpeg_detection_resnet_ssd_tpu.data import parse_voc_xml
+    from jpeg_detection_resnet_ssd_tpu.eval import (
+        average_precision,
+        match_predictions,
+        num_gt_per_class,
+        read_voc_detection_files,
+    )
+    from jpeg_detection_resnet_ssd_tpu.eval.map_eval import precision_recall
+
+    preds = read_voc_detection_files(args.pred_dir)
+    recs = parse_voc_xml(
+        os.path.join(args.voc_root, "JPEGImages"),
+        os.path.join(args.voc_root, "ImageSets", "Main", args.image_set),
+        os.path.join(args.voc_root, "Annotations"),
+    )
+    gt = {
+        str(r["image_id"]): (r["boxes"].astype(float), r["difficult"])
+        for r in recs
+    }
+    n_gt = num_gt_per_class(gt, 20)
+    cum_tp, cum_fp = match_predictions(preds, gt, 20)
+    aps = []
+    for c in range(1, 21):
+        prec, rec = precision_recall(cum_tp[c], cum_fp[c], int(n_gt[c]))
+        aps.append(average_precision(prec, rec, args.ap_mode))
+    print(json.dumps({"mAP": sum(aps) / 20, "AP": aps}))
+
+
+def cmd_infer(args):
+    """Single-image detection demo (role of `localisation_part/inference.py`):
+    decode -> DCT tensors -> flagship model -> draw boxes -> save PNG."""
+    import jax
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.data.augment import resize, to_3_channels
+    from jpeg_detection_resnet_ssd_tpu.data.datasets import VOC_CLASSES
+    from jpeg_detection_resnet_ssd_tpu.data.dct_convert import rgb_to_dct_tensors
+    from jpeg_detection_resnet_ssd_tpu.models import (
+        build_model,
+        make_inference_fn,
+    )
+
+    module, _ = build_model(args.model, n_classes=20)
+    with Image.open(args.image) as im:
+        orig = np.asarray(im.convert("RGB"))
+    img300, _, inverter = resize(
+        to_3_channels(orig), np.zeros((0, 5), np.float32), 300, 300,
+        return_inverter=True,
+    )
+    y, cbcr = rgb_to_dct_tensors(img300)
+    inputs = (y[None].astype(np.float32), cbcr[None].astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+    if args.weights:
+        from jpeg_detection_resnet_ssd_tpu.compat import import_weights_by_name
+
+        variables, _ = import_weights_by_name(variables, args.weights,
+                                              verbose=True)
+    decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+    out = np.asarray(
+        jax.jit(lambda v, i: decode(module.apply(v, i, train=False)))(
+            variables, inputs
+        )
+    )[0]
+    rows = out[out[:, 1] >= args.confidence]
+    rows = inverter(rows) if len(rows) else rows
+    im = Image.fromarray(orig)
+    draw = ImageDraw.Draw(im)
+    for row in rows:
+        cls, conf, xmin, ymin, xmax, ymax = row
+        draw.rectangle([xmin, ymin, xmax, ymax], outline=(255, 0, 0), width=2)
+        draw.text(
+            (xmin + 2, max(0, ymin - 12)),
+            f"{VOC_CLASSES[int(cls) - 1]}:{conf:.2f}",
+            fill=(255, 0, 0),
+        )
+    im.save(args.output)
+    print(f"{len(rows)} detections -> {args.output}")
+
+
+def cmd_bench(args):
+    """Throughput + param-count harness (role of `inference_time.py`)."""
+    import jax
+    import numpy as np
+
+    from jpeg_detection_resnet_ssd_tpu.eval.imagenet_eval import (
+        count_params,
+        timed_runs,
+    )
+    from jpeg_detection_resnet_ssd_tpu.models import build_model
+
+    kwargs = {}
+    if args.model.startswith("ssd300"):
+        kwargs["n_classes"] = 20
+    else:
+        kwargs["num_classes"] = 1000
+    module, example = build_model(args.model, **kwargs)
+    inputs = example()
+
+    def _batchify(x):
+        reps = [args.batch_size] + [1] * (x.ndim - 1)
+        return np.tile(x[:1], reps)
+
+    inputs = jax.tree_util.tree_map(_batchify, inputs)
+    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+    fn = jax.jit(lambda v, i: module.apply(v, i, train=False))
+    stats = timed_runs(fn, (variables, inputs), n_runs=args.runs)
+    result = {
+        "model": args.model,
+        "params": count_params(variables["params"]),
+        "batch_size": args.batch_size,
+        "mean_s": stats["mean_s"],
+        "images_per_sec": args.batch_size / stats["mean_s"],
+    }
+    print(json.dumps(result))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="jpeg-dct-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tc = sub.add_parser("train-classify")
+    _add_train_common(tc)
+    tc.add_argument("--train-dir", required=True)
+    tc.add_argument("--class-index-json", default=None)
+    tc.set_defaults(fn=cmd_train_classify)
+
+    td = sub.add_parser("train-detect")
+    _add_train_common(td)
+    td.add_argument("--voc-root", nargs="+", required=True)
+    td.add_argument("--crop", dest="crop", action="store_true", default=True)
+    td.add_argument("--no_crop", dest="crop", action="store_false")
+    td.add_argument("--reg", dest="reg", action="store_true", default=True)
+    td.add_argument("--no_reg", dest="reg", action="store_false")
+    td.add_argument("--vgg", action="store_true",
+                    help="VGG-DCT backbone instead of ResNet")
+    td.set_defaults(fn=cmd_train_detect)
+
+    ev = sub.add_parser("evaluate")
+    ev.add_argument("--run-dir", required=True)
+    ev.add_argument("--voc-root", required=True)
+    ev.add_argument("--image-set", default="test.txt")
+    ev.add_argument("--batch-size", type=int, default=8)
+    ev.add_argument("--ap-mode", default="integrate",
+                    choices=["integrate", "sample"])
+    ev.add_argument("--out-dir", default=None)
+    ev.set_defaults(fn=cmd_evaluate)
+
+    cm = sub.add_parser("compute-map")
+    cm.add_argument("--pred-dir", required=True)
+    cm.add_argument("--voc-root", required=True)
+    cm.add_argument("--image-set", default="test.txt")
+    cm.add_argument("--ap-mode", default="sample",
+                    choices=["integrate", "sample"])
+    cm.set_defaults(fn=cmd_compute_map)
+
+    inf = sub.add_parser("infer")
+    inf.add_argument("--image", required=True)
+    inf.add_argument("--model", default="ssd300_ssd_custom")
+    inf.add_argument("--weights", default=None)
+    inf.add_argument("--confidence", type=float, default=0.2)
+    inf.add_argument("--output", default="detections.png")
+    inf.set_defaults(fn=cmd_infer)
+
+    be = sub.add_parser("bench")
+    be.add_argument("--model", default="ssd300_ssd_custom")
+    be.add_argument("--batch-size", type=int, default=32)
+    be.add_argument("--runs", type=int, default=10)
+    be.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,173 @@
+"""The training loop: epochs, logging, checkpointing, NaN guard, restart.
+
+Role of the reference's Keras `fit_generator` orchestration plus its callback
+stack (`training.py:159-198`, `training_dct_pascal_j2d_resnet.py:291-336`):
+CSVLogger (append mode), ModelCheckpoint (per-epoch, best-tracking),
+TerminateOnNaN, restart-from-latest-checkpoint with step/optimizer state
+restored (superseding the reference's filename/CSV-parsing reconstruction,
+`training.py:74-103`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+import optax
+
+from jpeg_detection_resnet_ssd_tpu.losses import SSDLoss
+from jpeg_detection_resnet_ssd_tpu.models import build_model
+from jpeg_detection_resnet_ssd_tpu.parallel import make_mesh
+from jpeg_detection_resnet_ssd_tpu.parallel.mesh import tensor_parallel_rule
+from jpeg_detection_resnet_ssd_tpu.train.checkpoints import (
+    CheckpointManager,
+    CSVLogger,
+)
+from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+from jpeg_detection_resnet_ssd_tpu.train.schedules import (
+    keras_inverse_time_decay,
+    warmup_linear_scaling,
+)
+from jpeg_detection_resnet_ssd_tpu.train.trainer import (
+    Trainer,
+    classification_loss_fn,
+    detection_loss_fn,
+)
+
+
+class NaNLossError(RuntimeError):
+    """TerminateOnNaN (`config/resnet/config_file.py:76`)."""
+
+
+def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
+    if config.warmup_epochs > 0 and n_replicas > 1:
+        schedule = warmup_linear_scaling(
+            config.learning_rate,
+            n_replicas,
+            config.steps_per_epoch,
+            config.warmup_epochs,
+        )
+    elif config.lr_decay > 0:
+        schedule = keras_inverse_time_decay(config.learning_rate, config.lr_decay)
+    else:
+        schedule = config.learning_rate
+    return optax.sgd(schedule, momentum=config.momentum,
+                     nesterov=config.nesterov)
+
+
+def build_trainer(config: ExperimentConfig, mesh=None):
+    mesh = mesh or make_mesh(n_model=config.n_model_shards)
+    module, example_inputs = build_model(config.model, **config.model_kwargs)
+    if config.task == "detection":
+        loss_fn = detection_loss_fn(
+            SSDLoss(), l2_scale=config.l2_regularization
+        )
+    else:
+        loss_fn = classification_loss_fn()
+    n_replicas = mesh.shape.get("data", 1)
+    trainer = Trainer(
+        model=module,
+        loss_fn=loss_fn,
+        optimizer=build_optimizer(config, n_replicas),
+        mesh=mesh,
+        tp_rule=tensor_parallel_rule if config.n_model_shards > 1 else None,
+    )
+    return trainer, module, example_inputs
+
+
+def fit(
+    config: ExperimentConfig,
+    train_pipeline,
+    val_fn: Callable[[Any], dict] | None = None,
+    run_dir: str | None = None,
+    max_steps: int | None = None,
+    mesh=None,
+    init_variables=None,
+    log_every: int = 50,
+) -> tuple[Any, list[dict]]:
+    """Train per `config`; returns (final TrainState, history of epoch rows)."""
+    trainer, module, example_inputs = build_trainer(config, mesh)
+    mesh = trainer.mesh
+    n_data = mesh.shape.get("data", 1)
+    if config.batch_size % n_data != 0:
+        raise ValueError(
+            f"global batch_size {config.batch_size} must be divisible by the "
+            f"mesh data axis ({n_data} shards)"
+        )
+
+    with mesh:
+        if init_variables is not None:
+            state = trainer.init_state(
+                jax.random.PRNGKey(config.seed), example_inputs()
+            )
+            state = state.replace(
+                params=init_variables["params"],
+                batch_stats=init_variables.get(
+                    "batch_stats", state.batch_stats
+                ),
+                opt_state=trainer.optimizer.init(init_variables["params"]),
+            )
+            state = jax.device_put(state, trainer.state_shardings(state))
+        else:
+            state = trainer.init_state(
+                jax.random.PRNGKey(config.seed), example_inputs()
+            )
+
+        ckpt = csv = None
+        start_epoch = 0
+        if run_dir is not None:
+            ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+            csv = CSVLogger(os.path.join(run_dir, "results", "results.csv"))
+            if config.restart and ckpt.latest_step() is not None:
+                state = ckpt.restore(state)
+                start_epoch = int(state.step) // max(config.steps_per_epoch, 1)
+
+        dropout_rng = jax.random.PRNGKey(config.seed + 1)
+        history = []
+        steps_done = 0
+        for epoch in range(start_epoch, config.epochs):
+            t0 = time.time()
+            epoch_metrics: dict[str, list] = {}
+            for batch in train_pipeline:
+                batch = jax.device_put(batch, trainer.batch_shardings(batch))
+                state, metrics = trainer.train_step(state, batch, dropout_rng)
+                steps_done += 1
+                if steps_done % log_every == 0 or (
+                    max_steps and steps_done >= max_steps
+                ):
+                    loss = float(metrics["total_loss"])
+                    if math.isnan(loss) or math.isinf(loss):
+                        raise NaNLossError(
+                            f"non-finite loss at step {steps_done}"
+                        )
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(v)
+                if max_steps and steps_done >= max_steps:
+                    break
+                if steps_done % config.steps_per_epoch == 0:
+                    break
+            row = {
+                "epoch": epoch,
+                "step": int(state.step),
+                "time_s": round(time.time() - t0, 2),
+            }
+            for k, v in epoch_metrics.items():
+                row[k] = float(np.mean([float(x) for x in v]))
+            if math.isnan(row.get("total_loss", 0.0)):
+                raise NaNLossError(f"non-finite epoch loss at epoch {epoch}")
+            if val_fn is not None:
+                row.update(
+                    {f"val_{k}": v for k, v in val_fn(state).items()}
+                )
+            history.append(row)
+            if csv is not None:
+                csv.log(row)
+            if ckpt is not None:
+                ckpt.save(int(state.step), state, metrics=None)
+            if max_steps and steps_done >= max_steps:
+                break
+        return state, history

@@ -1,0 +1,165 @@
+"""fit() loop: history/CSV/checkpoint/restart + compute-map CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from flax import linen as nn
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from jpeg_detection_resnet_ssd_tpu.data import (
+    ClassificationPipeline,
+    ImageFolderDataset,
+)
+from jpeg_detection_resnet_ssd_tpu.models.zoo import MODEL_REGISTRY
+from jpeg_detection_resnet_ssd_tpu.train.config import (
+    ExperimentConfig,
+    create_run_dir,
+    find_latest_run,
+)
+from jpeg_detection_resnet_ssd_tpu.train.loop import NaNLossError, fit
+
+
+class _TinyNet(nn.Module):
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(nn.Conv(8, (3, 3), name="conv")(jnp.asarray(x)))
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+def _tiny_factory(**kw):
+    module = _TinyNet(**kw)
+
+    def example(rng=None):
+        return np.zeros((2, 32, 32, 3), np.float32)
+
+    return module, example
+
+
+MODEL_REGISTRY.setdefault("tiny_cls_test", _tiny_factory)
+
+
+@pytest.fixture
+def cls_root(tmp_path):
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for c in ["a", "b", "c"]:
+        (root / c).mkdir(parents=True)
+        for j in range(4):
+            arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / c / f"{j}.jpeg")
+    return str(root)
+
+
+def make_config(tmp_path):
+    return ExperimentConfig(
+        model="tiny_cls_test",
+        model_kwargs={"num_classes": 3},
+        task="classification",
+        input_format="rgb",
+        learning_rate=0.01,
+        l2_regularization=0.0,
+        batch_size=8,
+        epochs=2,
+        steps_per_epoch=2,
+        output_dir=str(tmp_path / "exp"),
+        num_workers=2,
+    )
+
+
+def test_fit_history_csv_checkpoint_restart(cls_root, tmp_path):
+    config = make_config(tmp_path)
+    ds = ImageFolderDataset(cls_root)
+
+    class Repeat:
+        """Loop the pipeline forever (role of the reference's infinite
+        generators)."""
+
+        def __init__(self, make):
+            self.make = make
+
+        def __iter__(self):
+            while True:
+                yield from self.make()
+
+    def pipeline():
+        return ClassificationPipeline(
+            ds, config.batch_size, train=True, input_format="rgb",
+            image_size=32, num_workers=2,
+        )
+
+    run_dir = create_run_dir(config)
+    assert os.path.exists(os.path.join(run_dir, "saved_config.json"))
+    state, history = fit(config, Repeat(pipeline), run_dir=run_dir)
+    assert len(history) == 2
+    assert int(state.step) == 4
+    csv_path = os.path.join(run_dir, "results", "results.csv")
+    assert os.path.exists(csv_path)
+
+    # restart: resumes from the saved checkpoint step
+    config.restart = True
+    config.epochs = 3
+    state2, history2 = fit(config, Repeat(pipeline), run_dir=run_dir)
+    assert int(state2.step) == 6  # 2 existing epochs + 1 new
+    assert len(history2) == 1
+
+    found = find_latest_run(config)
+    assert found == run_dir
+
+
+def test_fit_nan_guard(tmp_path):
+    config = make_config(tmp_path)
+    config.epochs = 3
+    config.steps_per_epoch = 3
+
+    def nan_pipeline():
+        while True:
+            yield {
+                "inputs": np.full((8, 32, 32, 3), np.nan, np.float32),
+                "labels": np.zeros(8, np.int32),
+            }
+
+    with pytest.raises(NaNLossError):
+        fit(config, nan_pipeline(), run_dir=None, log_every=1)
+
+
+def test_compute_map_cli(tmp_path):
+    from jpeg_detection_resnet_ssd_tpu.cli.main import main
+    from jpeg_detection_resnet_ssd_tpu.eval import write_voc_detection_files
+
+    # mini VOC GT
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    (root / "Annotations" / "000001.xml").write_text(
+        "<annotation><object><name>dog</name><difficult>0</difficult>"
+        "<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>60</xmax>"
+        "<ymax>60</ymax></bndbox></object></annotation>"
+    )
+    (root / "ImageSets" / "Main" / "test.txt").write_text("000001\n")
+    preds = [[] for _ in range(21)]
+    preds[12].append(("000001", 0.95, 10.0, 10.0, 60.0, 60.0))  # dog exact
+    pred_dir = tmp_path / "preds"
+    write_voc_detection_files(preds, str(pred_dir))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([
+            "compute-map", "--pred-dir", str(pred_dir),
+            "--voc-root", str(root), "--image-set", "test.txt",
+            "--ap-mode", "sample",
+        ])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["AP"][11] == pytest.approx(1.0)  # dog is class 12 -> index 11
+    assert out["mAP"] == pytest.approx(1.0 / 20.0)
