@@ -1,0 +1,152 @@
+"""DCT-coefficient-domain augmentation: flip and crop WITHOUT re-encoding.
+
+The reference augments in pixel space and pays an RGB -> JPEG -> Huffman-decode
+round trip per image per step (`generators.py:180-183`,
+`_dct_j2d.py:1167-1189`) — the throughput ceiling of its training stack
+(SURVEY.md §3.1), and a lossy recompression besides.  These ops work directly
+on `(H8, W8, 64)` coefficient tensors on device:
+
+  * horizontal flip: reverse the block columns AND negate every
+    odd-column-frequency coefficient — cos((2(7-x)+1) v pi/16) =
+    (-1)^v cos((2x+1) v pi/16), so F'(u, v) = (-1)^v F(u, 7-w_block)(u, v);
+  * vertical flip: symmetric in u;
+  * crop: 8-pixel-aligned block slicing (for 4:2:0 chroma: 16-pixel-aligned).
+
+Exactness: flip/crop here are BIT-EXACT pixel-domain flips/crops of the
+JPEG-decoded image (no recompression loss), verified in tests via the block
+IDCT.  Training-distribution parity with the reference's re-encode loop is a
+metric-level argument (SURVEY.md §7.4).
+
+A Pallas kernel (`dct_flip_horizontal(..., use_pallas=True)`) implements the
+fused reverse+sign-flip for the hot path; the jnp path compiles to the same
+fused XLA op and is the default (XLA already fuses a reverse + multiply into
+one memory-bound pass — the kernel exists to pin the layout and as the
+template for future DCT-domain ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (-1)^v pattern over the 64 natural-order coefficients, varying along columns
+_COL_SIGNS = np.where(np.arange(64) % 8 % 2 == 0, 1.0, -1.0).astype(np.float32)
+# (-1)^u pattern, varying along rows of the 8x8 block
+_ROW_SIGNS = np.where((np.arange(64) // 8) % 2 == 0, 1.0, -1.0).astype(
+    np.float32
+)
+
+
+def _signs_for(channels: int, signs: np.ndarray) -> np.ndarray:
+    """Tile the per-block sign pattern to stacked-component channels
+    (e.g. CbCr tensors carry Cb|Cr as 128 channels)."""
+    if channels % 64 != 0:
+        raise ValueError(f"channel count {channels} is not a multiple of 64")
+    return np.tile(signs, channels // 64)
+
+
+def _flip_h_jnp(blocks):
+    signs = _signs_for(blocks.shape[-1], _COL_SIGNS)
+    return blocks[..., :, ::-1, :] * jnp.asarray(signs, blocks.dtype)
+
+
+def _flip_h_pallas(blocks):
+    """Fused reverse-and-sign-flip Pallas kernel.
+
+    Grid: one program per (batch-collapsed) row of blocks; each program
+    reverses its row's W8 blocks and applies the per-coefficient sign mask in
+    VMEM.  Shapes: (N, W8, 64) after collapsing leading axes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = blocks.shape[:-2]
+    w8, c = blocks.shape[-2], blocks.shape[-1]
+    flat = blocks.reshape((-1, w8, c))
+    signs = jnp.broadcast_to(jnp.asarray(_COL_SIGNS, flat.dtype), (1, c))
+
+    def kernel(x_ref, s_ref, o_ref):
+        x = x_ref[0]  # (W8, 64)
+        o_ref[0] = x[::-1, :] * s_ref[:]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+        grid=(flat.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, w8, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w8, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(flat, signs)
+    return out.reshape(lead + (w8, c))
+
+
+def dct_flip_horizontal(blocks: jnp.ndarray, use_pallas: bool = False):
+    """Horizontally flip a (..., H8, W8, 64) coefficient tensor, exactly
+    matching a pixel-domain horizontal flip of the decoded image."""
+    if use_pallas:
+        return _flip_h_pallas(jnp.asarray(blocks))
+    return _flip_h_jnp(jnp.asarray(blocks))
+
+
+def dct_flip_vertical(blocks: jnp.ndarray):
+    """Vertical flip: reverse block rows, negate odd row frequencies."""
+    blocks = jnp.asarray(blocks)
+    signs = _signs_for(blocks.shape[-1], _ROW_SIGNS)
+    return blocks[..., ::-1, :, :] * jnp.asarray(signs, blocks.dtype)
+
+
+def dct_crop_blocks(blocks: jnp.ndarray, y0: int, x0: int, h8: int, w8: int):
+    """Block-aligned crop: blocks[y0:y0+h8, x0:x0+w8] (8-pixel granularity).
+
+    Use `lax.dynamic_slice` semantics so traced offsets work under jit.
+    """
+    blocks = jnp.asarray(blocks)
+    start = [0] * (blocks.ndim - 3) + [y0, x0, 0]
+    sizes = list(blocks.shape[:-3]) + [h8, w8, blocks.shape[-1]]
+    return jax.lax.dynamic_slice(blocks, start, sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("out_y_blocks", "out_cbcr_blocks"))
+def dct_random_crop_flip(
+    y: jnp.ndarray,
+    cbcr: jnp.ndarray,
+    rng: jax.Array,
+    out_y_blocks: int = 28,
+    out_cbcr_blocks: int = 14,
+):
+    """Batched device-side random crop + random horizontal flip in DCT space.
+
+    The recompression-free replacement for the reference's per-image
+    resize/crop/flip + JPEG re-encode path in classification training
+    (`generators.py:145-183`): given oversized coefficient maps
+    y (B, H8, W8, 64) and cbcr (B, H8/2, W8/2, 128), takes a random
+    16-pixel-aligned crop (so luma and 4:2:0 chroma stay block-aligned) and a
+    random horizontal flip, batched and jit-compiled.
+
+    Returns (y_out (B, out_y, out_y, 64), cbcr_out (B, out_c, out_c, 128)).
+    """
+    B, H8, W8, _ = y.shape
+    if out_y_blocks != 2 * out_cbcr_blocks:
+        raise ValueError("4:2:0 layout requires out_y_blocks = 2*out_cbcr_blocks")
+    max_y0 = (H8 - out_y_blocks) // 2  # in chroma-block (16px) units
+    max_x0 = (W8 - out_y_blocks) // 2
+    k1, k2, k3 = jax.random.split(rng, 3)
+    y0c = jax.random.randint(k1, (B,), 0, max_y0 + 1)
+    x0c = jax.random.randint(k2, (B,), 0, max_x0 + 1)
+    do_flip = jax.random.bernoulli(k3, 0.5, (B,))
+
+    def one(yb, cb, y0, x0, flip):
+        yc = dct_crop_blocks(yb, 2 * y0, 2 * x0, out_y_blocks, out_y_blocks)
+        cc = dct_crop_blocks(cb, y0, x0, out_cbcr_blocks, out_cbcr_blocks)
+        yc = jnp.where(flip, _flip_h_jnp(yc), yc)
+        cc = jnp.where(flip, _flip_h_jnp(cc), cc)
+        return yc, cc
+
+    return jax.vmap(one)(y, cbcr, y0c, x0c, do_flip)
