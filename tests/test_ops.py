@@ -122,3 +122,21 @@ class TestDCTCrop:
             jnp.asarray(y), jnp.asarray(cbcr), jax.random.PRNGKey(0)
         )
         np.testing.assert_allclose(np.asarray(yo), np.asarray(yo2))
+
+
+class TestUtils:
+    def test_step_timer(self):
+        import time as _t
+
+        from jpeg_detection_resnet_ssd_tpu.utils import StepTimer
+
+        t = StepTimer(skip=1)
+        for _ in range(4):
+            t.tick()
+            _t.sleep(0.01)
+        assert t.steps_per_sec() > 0
+
+    def test_primary_process(self):
+        from jpeg_detection_resnet_ssd_tpu.utils import is_primary_process
+
+        assert is_primary_process() is True
