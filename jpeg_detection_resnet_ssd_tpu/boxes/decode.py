@@ -32,6 +32,7 @@ def decode_raw_predictions(
     normalize_coords: bool = True,
     img_height: int | None = None,
     img_width: int | None = None,
+    log_scale_offsets: bool = True,
 ):
     """Convert raw SSD output offsets to absolute corner boxes + class scores.
 
@@ -55,8 +56,14 @@ def decode_raw_predictions(
     cxa, cya, wa, ha = (anchors[..., i] for i in range(4))
     cx = offs[..., 0] * variances[..., 0] * wa + cxa
     cy = offs[..., 1] * variances[..., 1] * ha + cya
-    w = jnp.exp(offs[..., 2] * variances[..., 2]) * wa
-    h = jnp.exp(offs[..., 3] * variances[..., 3]) * ha
+    if log_scale_offsets:
+        w = jnp.exp(offs[..., 2] * variances[..., 2]) * wa
+        h = jnp.exp(offs[..., 3] * variances[..., 3]) * ha
+    else:
+        # `_no_log` variant (`ssd_output_decoder_no_log.py:175`): the encoder
+        # stored raw w/h ratios instead of their logs.
+        w = offs[..., 2] * variances[..., 2] * wa
+        h = offs[..., 3] * variances[..., 3] * ha
     boxes = geometry.centroids_to_corners(jnp.stack([cx, cy, w, h], axis=-1))
     if normalize_coords:
         if img_height is None or img_width is None:
@@ -174,6 +181,67 @@ def decode_detections(
             ],
             axis=-1,
         )
+        return rows
+
+    return jax.vmap(per_image)(scores, boxes)
+
+
+def decode_detections_fast(
+    y_pred: jax.Array,
+    *,
+    confidence_thresh: float = 0.5,
+    iou_threshold: float = 0.45,
+    top_k: int = 200,
+    nms_max_output_size: int = 400,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: int = 300,
+    img_width: int = 300,
+    border_pixels: str = "half",
+    log_scale_offsets: bool = True,
+) -> jax.Array:
+    """Fast decode: argmax class first, ONE global class-agnostic NMS.
+
+    Shape-static equivalent of the reference's 'inference_fast' mode
+    (`keras_layer_DecodeDetectionsFast.py:126-236` /
+    `ssd_output_decoder.decode_detections_fast`): each box keeps only its
+    argmax class and confidence; background-argmax boxes are dropped; one NMS
+    runs over all surviving boxes regardless of class; then global top-k.
+    Output layout matches `decode_detections`: (B, top_k, 6).
+    """
+    scores, boxes = decode_raw_predictions(
+        y_pred,
+        input_coords=input_coords,
+        normalize_coords=normalize_coords,
+        img_height=img_height,
+        img_width=img_width,
+        log_scale_offsets=log_scale_offsets,
+    )
+
+    def per_image(scores_i, boxes_i):
+        cls = jnp.argmax(scores_i, axis=-1)  # includes background = 0
+        conf = jnp.max(scores_i, axis=-1)
+        valid = (cls != 0) & (conf > confidence_thresh)
+        masked = jnp.where(valid, conf, 0.0)
+        k = min(nms_max_output_size, masked.shape[0])
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+        top_boxes = boxes_i[top_idx]
+        top_cls = cls[top_idx].astype(jnp.float32)
+        keep = _greedy_nms_mask(
+            top_boxes, top_scores, iou_threshold, border_pixels
+        )
+        kept_scores = jnp.where(keep, top_scores, 0.0)
+        best, idx = jax.lax.top_k(kept_scores, min(top_k, k))
+        rows = jnp.concatenate(
+            [
+                jnp.where(best > 0, top_cls[idx], 0.0)[:, None],
+                best[:, None],
+                jnp.where(best[:, None] > 0, top_boxes[idx], 0.0),
+            ],
+            axis=-1,
+        )
+        if top_k > k:  # pad to the requested top_k
+            rows = jnp.pad(rows, ((0, top_k - k), (0, 0)))
         return rows
 
     return jax.vmap(per_image)(scores, boxes)

@@ -51,6 +51,7 @@ def encode_targets(
     border_pixels: str = "half",
     normalize_coords: bool = True,
     matching_type: str = "multi",
+    log_scale_offsets: bool = True,
 ) -> jax.Array:
     """Encode one image's padded GT into the SSD training target.
 
@@ -134,9 +135,20 @@ def encode_targets(
     wa, ha = anchors_cent[:, 2], anchors_cent[:, 3]
     d_cx = (matched_cent[:, 0] - anchors_cent[:, 0]) / (wa * variances[:, 0])
     d_cy = (matched_cent[:, 1] - anchors_cent[:, 1]) / (ha * variances[:, 1])
-    # Guard the log for padded rows (w/h may be 0); positives always have w>0.
-    d_w = jnp.log(jnp.maximum(matched_cent[:, 2] / wa, 1e-12)) / variances[:, 2]
-    d_h = jnp.log(jnp.maximum(matched_cent[:, 3] / ha, 1e-12)) / variances[:, 3]
+    if log_scale_offsets:
+        # Guard the log for padded rows (w/h may be 0); positives have w>0.
+        d_w = (
+            jnp.log(jnp.maximum(matched_cent[:, 2] / wa, 1e-12))
+            / variances[:, 2]
+        )
+        d_h = (
+            jnp.log(jnp.maximum(matched_cent[:, 3] / ha, 1e-12))
+            / variances[:, 3]
+        )
+    else:
+        # `ssd_input_encoder_no_log.py:400`: raw w/h ratios, no log.
+        d_w = (matched_cent[:, 2] / wa) / variances[:, 2]
+        d_h = (matched_cent[:, 3] / ha) / variances[:, 3]
     offsets = jnp.stack([d_cx, d_cy, d_w, d_h], axis=-1)
     offsets = jnp.where(positive[:, None], offsets, 0.0)
 
@@ -158,6 +170,7 @@ class TargetEncoder:
     neg_iou_limit: float = 0.3
     border_pixels: str = "half"
     matching_type: str = "multi"
+    log_scale_offsets: bool = True
 
     @functools.cached_property
     def anchors(self) -> np.ndarray:
@@ -181,6 +194,7 @@ class TargetEncoder:
             border_pixels=self.border_pixels,
             normalize_coords=self.spec.normalize_coords,
             matching_type=self.matching_type,
+            log_scale_offsets=self.log_scale_offsets,
         )
         return jax.jit(jax.vmap(fn))
 

@@ -249,3 +249,83 @@ class TestDecode:
         )
         assert out.shape == (1, 20, 6)
         assert np.allclose(out, 0.0)  # nothing passes a 0.99 threshold
+
+
+class TestDecodeFast:
+    def test_fast_decode_argmax_and_global_nms(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections_fast,
+        )
+
+        n_classes = 3
+        td = TestDecode()
+        y = td._fake_preds(rng, n_boxes=120, n_classes=n_classes)
+        out = np.asarray(
+            decode_detections_fast(
+                jnp.asarray(y), confidence_thresh=0.3, iou_threshold=0.45,
+                top_k=40, nms_max_output_size=64,
+                img_height=300, img_width=300,
+            )
+        )[0]
+        # Oracle: argmax class, global NMS
+        scores = y[0, :, : n_classes + 1]
+        offs, cent, var = y[0, :, -12:-8], y[0, :, -8:-4], y[0, :, -4:]
+        cx = offs[:, 0] * var[:, 0] * cent[:, 2] + cent[:, 0]
+        cy = offs[:, 1] * var[:, 1] * cent[:, 3] + cent[:, 1]
+        w = np.exp(offs[:, 2] * var[:, 2]) * cent[:, 2]
+        h = np.exp(offs[:, 3] * var[:, 3]) * cent[:, 3]
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                         axis=1) * 300.0
+        cls = scores.argmax(-1)
+        conf = scores.max(-1)
+        s = np.where((cls != 0) & (conf > 0.3), conf, 0.0)
+        kept = oracles.greedy_nms(boxes, s, 0.45)
+        expected = sorted(
+            ((cls[i], s[i], *boxes[i]) for i in kept if s[i] > 0),
+            key=lambda r: -r[1],
+        )[:40]
+        got = [tuple(r) for r in out if r[1] > 0]
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            assert g[0] == e[0]
+            np.testing.assert_allclose(g[1:], e[1:], atol=1e-3)
+
+    def test_no_log_roundtrip(self, rng):
+        """no-log encode + no-log decode recovers the GT boxes."""
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_raw_predictions,
+        )
+
+        enc = TargetEncoder(
+            spec=AnchorSpec(), predictor_sizes=SSD300_PREDICTOR_SIZES,
+            n_classes=20, log_scale_offsets=False,
+        )
+        gt = np.zeros((2, 5), dtype=np.float32)
+        gt[:, 0] = [3, 7]
+        gt[:, 1:] = random_corner_boxes(rng, 2)
+        padded, mask = enc.pad_labels([gt], max_gt=8)
+        encoded = np.asarray(enc(padded, mask))
+        scores, boxes = decode_raw_predictions(
+            jnp.asarray(encoded), img_height=300, img_width=300,
+            log_scale_offsets=False,
+        )
+        boxes = np.asarray(boxes)[0]
+        pos = np.asarray(encoded)[0, :, 1:21].max(-1) > 0
+        # every positive anchor's decoded box equals one of the GT boxes
+        for b in boxes[pos]:
+            dists = np.abs(gt[:, 1:] - b).max(axis=1)
+            assert dists.min() < 0.5
+
+
+def test_coco_writer(tmp_path):
+    from jpeg_detection_resnet_ssd_tpu.eval.coco_writer import (
+        detections_to_coco_json,
+    )
+
+    preds = [[], [("42", 0.9, 10.0, 20.0, 30.0, 60.0)]]
+    out = detections_to_coco_json(
+        preds, str(tmp_path / "res.json"), contiguous_to_cat={1: 17}
+    )
+    assert out[0]["category_id"] == 17
+    assert out[0]["image_id"] == 42
+    assert out[0]["bbox"] == [10.0, 20.0, 20.0, 40.0]
