@@ -303,11 +303,17 @@ def cmd_infer(args):
         )
     )[0]
     rows = out[out[:, 1] >= args.confidence]
+    rows = rows[np.isfinite(rows).all(axis=1)]
     rows = inverter(rows) if len(rows) else rows
     im = Image.fromarray(orig)
     draw = ImageDraw.Draw(im)
+    H, W = orig.shape[:2]
     for row in rows:
         cls, conf, xmin, ymin, xmax, ymax = row
+        xmin, xmax = np.clip([xmin, xmax], 0, W - 1)
+        ymin, ymax = np.clip([ymin, ymax], 0, H - 1)
+        if xmax <= xmin or ymax <= ymin:
+            continue
         draw.rectangle([xmin, ymin, xmax, ymax], outline=(255, 0, 0), width=2)
         draw.text(
             (xmin + 2, max(0, ymin - 12)),
@@ -412,6 +418,13 @@ def build_parser():
 
 
 def main(argv=None):
+    # JPEG_DCT_PLATFORM=cpu forces the CPU backend even where a site hook has
+    # pre-registered an accelerator (useful for smoke runs and CI).
+    platform = os.environ.get("JPEG_DCT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
