@@ -78,6 +78,12 @@ def decode_raw_predictions(
 def _greedy_nms_mask(boxes, scores, iou_threshold, border_pixels="half"):
     """Sequential greedy NMS over score-sorted candidates.
 
+    Streaming formulation: each of the k steps computes one row of the IoU
+    matrix on the fly (O(k) memory) instead of materializing the full (k, k)
+    matrix up front — under vmap over (batch, classes) the materialized form
+    costs B*C*k^2 floats (1.7 GB at B=128, C=21, k=400) and collapses
+    throughput; the streaming form peaks at B*C*k.
+
     Args:
       boxes: (k, 4) corners, sorted by descending score.
       scores: (k,) matching scores (0 marks invalid slots).
@@ -86,15 +92,15 @@ def _greedy_nms_mask(boxes, scores, iou_threshold, border_pixels="half"):
       keep: (k,) bool mask of surviving boxes.
     """
     k = boxes.shape[0]
-    ious = geometry.iou_matrix(
-        boxes, boxes, coords="corners", border_pixels=border_pixels
-    )
     idx = jnp.arange(k)
 
     def body(i, keep):
         alive_i = keep[i] & (scores[i] > 0.0)
+        row_iou = geometry.iou_elementwise(
+            boxes[i], boxes, coords="corners", border_pixels=border_pixels
+        )
         # Suppress all later boxes overlapping box i beyond the threshold.
-        suppress = alive_i & (ious[i] > iou_threshold) & (idx > i)
+        suppress = alive_i & (row_iou > iou_threshold) & (idx > i)
         return keep & ~suppress
 
     keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))

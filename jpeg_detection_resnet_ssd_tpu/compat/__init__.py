@@ -4,3 +4,4 @@ from jpeg_detection_resnet_ssd_tpu.compat.h5_import import (
     list_h5_layers,
 )
 from jpeg_detection_resnet_ssd_tpu.compat.surgery import sample_tensors
+from jpeg_detection_resnet_ssd_tpu.compat.h5_export import export_keras_h5

@@ -127,3 +127,29 @@ class TestSurgery:
         b = np.arange(4, dtype="f4")
         (b2,), _ = sample_tensors([b], [[0, 2]], axes=[0])
         np.testing.assert_allclose(b2, [0, 2])
+
+
+def test_h5_export_import_roundtrip(tmp_path):
+    """Export our params to Keras layout, reimport into a fresh init, and
+    check the forward pass is bit-identical."""
+    from jpeg_detection_resnet_ssd_tpu.compat import (
+        export_keras_h5,
+        import_weights_by_name,
+    )
+
+    module, example = build_model("resnet50_dct_cb5_only", num_classes=7)
+    inputs = example()
+    v1 = module.init(jax.random.PRNGKey(1), inputs, train=False)
+    path = str(tmp_path / "export.h5")
+    exported = export_keras_h5(v1, path)
+    assert "res1a2_branch2a" in exported
+    assert "fc1000" in exported
+
+    v2 = module.init(jax.random.PRNGKey(2), inputs, train=False)
+    out_before = np.asarray(module.apply(v2, inputs, train=False))
+    v2_loaded, report = import_weights_by_name(v2, path)
+    assert not report["mismatched"]
+    out_loaded = np.asarray(module.apply(v2_loaded, inputs, train=False))
+    out_ref = np.asarray(module.apply(v1, inputs, train=False))
+    assert not np.allclose(out_before, out_ref)  # different inits differ
+    np.testing.assert_allclose(out_loaded, out_ref, atol=1e-6)

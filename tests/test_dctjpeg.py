@@ -135,3 +135,23 @@ class TestDCTImage:
         plane = dctjpeg.blocks_to_plane(blocks)
         assert plane.shape == (32, 40)
         np.testing.assert_array_equal(dctjpeg.plane_to_blocks(plane), blocks)
+
+
+class TestGolden:
+    """Golden-coefficient oracle on a checked-in JPEG — the role of the
+    reference's bit-exactness test (`tests_generators.py:66-68`), but against
+    a fixture that ships with the repo instead of a cluster path."""
+
+    def test_golden_coefficients(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "golden.jpg")
+        y, cb, cr = dctjpeg.load(path)
+        assert y.shape == (28, 28, 64) and cb.shape == (14, 14, 64)
+        assert y[0, 0, :6].tolist() == [-144, -30, 0, 0, 0, 0]
+        assert y[10, 10, :6].tolist() == [-312, -6, 0, 0, 0, 0]
+        assert cb[0, 0, :4].tolist() == [81, 81, 0, 0]
+        assert cr[5, 5, :4].tolist() == [-72, -9, 0, 0]
+        assert (int(y.sum()), int(cb.sum()), int(cr.sum())) == (
+            -21752, 1827, 4149,
+        )
