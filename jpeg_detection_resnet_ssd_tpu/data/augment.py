@@ -434,3 +434,210 @@ def classification_train_view(image, rng, size=224,
 def classification_eval_view(image, size=224):
     """Plain resize to (size, size) (`generators.py:161-163`)."""
     return cv2.resize(image, (size, size), interpolation=cv2.INTER_LINEAR)
+
+
+# ---------------------------------------------------------------------------
+# additional geometric ops + preset chains
+# (`data_augmentation_chain_{constant_input_size,variable_input_size,
+# satellite}.py`)
+# ---------------------------------------------------------------------------
+
+def scale_affine(image, labels, factor, background=(123, 117, 104),
+                 clip_boxes=True):
+    """Scale about the image center, keeping the canvas size (`Scale`,
+    `object_detection_2d_geometric_ops.py:449`): zoom-in crops, zoom-out pads
+    with the background color; boxes follow the affine map and are kept only
+    if their center stays inside."""
+    h, w = image.shape[:2]
+    M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 0, factor)
+    out = cv2.warpAffine(
+        image, M, (w, h), borderMode=cv2.BORDER_CONSTANT,
+        borderValue=tuple(int(c) for c in background),
+    )
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        for cols in ((1, 2), (3, 4)):  # map both corners
+            x, y = labels[:, cols[0]].copy(), labels[:, cols[1]].copy()
+            labels[:, cols[0]] = M[0, 0] * x + M[0, 1] * y + M[0, 2]
+            labels[:, cols[1]] = M[1, 0] * x + M[1, 1] * y + M[1, 2]
+        cx = (labels[:, 1] + labels[:, 3]) / 2
+        cy = (labels[:, 2] + labels[:, 4]) / 2
+        keep = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        labels = labels[keep]
+        if clip_boxes and len(labels):
+            labels[:, [1, 3]] = labels[:, [1, 3]].clip(0, w - 1)
+            labels[:, [2, 4]] = labels[:, [2, 4]].clip(0, h - 1)
+    return out, labels
+
+
+class RandomTranslate:
+    """Bounded-trials random translate (`RandomTranslate`, `:319`): the
+    translation fractions are drawn per trial; a trial is valid if at least
+    `n_boxes_min` box centers survive; after `n_trials_max` failures the
+    input is returned unchanged."""
+
+    def __init__(self, dy_minmax=(0.03, 0.3), dx_minmax=(0.03, 0.3),
+                 prob=0.5, n_trials_max=3, background=(123, 117, 104),
+                 n_boxes_min=1):
+        self.dy_minmax, self.dx_minmax = dy_minmax, dx_minmax
+        self.prob, self.n_trials_max = prob, n_trials_max
+        self.background, self.n_boxes_min = background, n_boxes_min
+
+    def __call__(self, image, labels, rng):
+        if rng.random() >= self.prob:
+            return image, labels
+        h, w = image.shape[:2]
+        for _ in range(max(1, self.n_trials_max)):
+            dy = int(round(h * rng.uniform(*self.dy_minmax))) * (
+                1 if rng.random() < 0.5 else -1
+            )
+            dx = int(round(w * rng.uniform(*self.dx_minmax))) * (
+                1 if rng.random() < 0.5 else -1
+            )
+            out, lab = translate(image, labels, dy, dx, self.background)
+            if labels is None or len(labels) == 0 or (
+                lab is not None and len(lab) >= self.n_boxes_min
+            ):
+                return out, lab
+        return image, labels
+
+
+class RandomScale:
+    """Bounded-trials random zoom (`RandomScale`, `:534`)."""
+
+    def __init__(self, min_factor=0.5, max_factor=2.0, prob=0.5,
+                 n_trials_max=3, background=(123, 117, 104), n_boxes_min=1):
+        self.min_factor, self.max_factor = min_factor, max_factor
+        self.prob, self.n_trials_max = prob, n_trials_max
+        self.background, self.n_boxes_min = background, n_boxes_min
+
+    def __call__(self, image, labels, rng):
+        if rng.random() >= self.prob:
+            return image, labels
+        for _ in range(max(1, self.n_trials_max)):
+            factor = rng.uniform(self.min_factor, self.max_factor)
+            out, lab = scale_affine(image, labels, factor, self.background)
+            if labels is None or len(labels) == 0 or (
+                lab is not None and len(lab) >= self.n_boxes_min
+            ):
+                return out, lab
+        return image, labels
+
+
+class RandomPatchAspect:
+    """Random patch with width-from-scale / height-from-aspect-ratio sampling
+    (`PatchCoordinateGenerator(must_match='w_ar')` + `RandomPatch`,
+    `patch_sampling_ops.py:24,429`), used by the variable-input-size chain."""
+
+    def __init__(self, min_scale=0.3, max_scale=1.0, min_ar=0.5, max_ar=2.0,
+                 n_trials_max=3, n_boxes_min=1):
+        self.min_scale, self.max_scale = min_scale, max_scale
+        self.min_ar, self.max_ar = min_ar, max_ar
+        self.n_trials_max, self.n_boxes_min = n_trials_max, n_boxes_min
+
+    def __call__(self, image, labels, rng):
+        h, w = image.shape[:2]
+        for _ in range(max(1, self.n_trials_max)):
+            pw = max(1, int(round(w * rng.uniform(self.min_scale,
+                                                  self.max_scale))))
+            ph = max(1, int(round(pw / rng.uniform(self.min_ar, self.max_ar))))
+            if ph > h or pw > w:
+                continue
+            ymin = int(rng.integers(0, h - ph + 1))
+            xmin = int(rng.integers(0, w - pw + 1))
+            out, lab = crop_patch(image, labels, ymin, xmin, ph, pw)
+            if labels is None or len(labels) == 0 or (
+                lab is not None and len(lab) >= self.n_boxes_min
+            ):
+                return out, lab
+        return image, labels
+
+
+class _PhotometricPreset:
+    """Parametrized photometric block shared by the preset chains."""
+
+    def __init__(self, brightness=(-48, 48, 0.5), contrast=(0.5, 1.8, 0.5),
+                 saturation=(0.5, 1.8, 0.5), hue=(18, 0.5)):
+        self.brightness, self.contrast = brightness, contrast
+        self.saturation, self.hue = saturation, hue
+
+    def __call__(self, image, labels, rng):
+        image = to_3_channels(image)
+        if rng.random() < self.brightness[2]:
+            image = brightness_shift(
+                image, rng.uniform(self.brightness[0], self.brightness[1])
+            )
+        if rng.random() < self.contrast[2]:
+            image = contrast_scale(
+                image, rng.uniform(self.contrast[0], self.contrast[1])
+            )
+        hsv = _rgb_to_hsv(image).astype(np.float32)
+        if rng.random() < self.saturation[2]:
+            hsv = saturation_scale_hsv(
+                hsv, rng.uniform(self.saturation[0], self.saturation[1])
+            )
+        if rng.random() < self.hue[1]:
+            hsv = hue_shift_hsv(hsv, rng.uniform(-self.hue[0], self.hue[0]))
+        return _hsv_to_rgb(np.clip(hsv, 0, 255).astype(np.uint8)), labels
+
+
+class DataAugmentationConstantInputSize:
+    """Photometric + translate/zoom/flip for same-size inputs
+    (`data_augmentation_chain_constant_input_size.py:26-186`): zoom-in runs
+    translate-then-scale, zoom-out runs scale-then-translate, 50/50."""
+
+    def __init__(self, background=(123, 117, 104)):
+        self.photometric = _PhotometricPreset()
+        self.translate_op = RandomTranslate(background=background)
+        self.zoom_in = RandomScale(1.0, 2.0, 0.5, background=background)
+        self.zoom_out = RandomScale(0.5, 1.0, 0.5, background=background)
+        self.flip = RandomFlip("horizontal", 0.5)
+
+    def __call__(self, image, labels, rng):
+        image, labels = self.photometric(image, labels, rng)
+        if rng.integers(0, 2):
+            image, labels = self.translate_op(image, labels, rng)
+            image, labels = self.zoom_in(image, labels, rng)
+        else:
+            image, labels = self.zoom_out(image, labels, rng)
+            image, labels = self.translate_op(image, labels, rng)
+        return self.flip(image, labels, rng)
+
+
+class DataAugmentationVariableInputSize:
+    """Photometric + random patch + flip + resize
+    (`data_augmentation_chain_variable_input_size.py:29-160`)."""
+
+    def __init__(self, img_height=300, img_width=300):
+        self.photometric = _PhotometricPreset()
+        self.patch = RandomPatchAspect()
+        self.flip = RandomFlip("horizontal", 0.5)
+        self.resize = ResizeRandomInterp(img_height, img_width)
+
+    def __call__(self, image, labels, rng, return_inverter=False):
+        image, labels = self.photometric(image, labels, rng)
+        image, labels = self.patch(image, labels, rng)
+        image, labels = self.flip(image, labels, rng)
+        return self.resize(image, labels, rng, return_inverter=return_inverter)
+
+
+class DataAugmentationSatellite:
+    """Overhead-imagery chain (`data_augmentation_chain_satellite.py:28-155`):
+    photometric + horizontal AND vertical flips + right-angle rotations +
+    random patch + resize."""
+
+    def __init__(self, img_height=300, img_width=300):
+        self.photometric = _PhotometricPreset()
+        self.hflip = RandomFlip("horizontal", 0.5)
+        self.vflip = RandomFlip("vertical", 0.5)
+        self.patch = RandomPatchAspect()
+        self.resize = ResizeRandomInterp(img_height, img_width)
+
+    def __call__(self, image, labels, rng, return_inverter=False):
+        image, labels = self.photometric(image, labels, rng)
+        image, labels = self.hflip(image, labels, rng)
+        image, labels = self.vflip(image, labels, rng)
+        if rng.random() < 0.5:
+            image, labels = rotate90(image, labels, int(rng.integers(1, 4)))
+        image, labels = self.patch(image, labels, rng)
+        return self.resize(image, labels, rng, return_inverter=return_inverter)

@@ -255,3 +255,85 @@ class DetectionDataset:
     def load(cls, path: str):
         with open(path, "rb") as f:
             return cls(pickle.load(f))
+
+
+class Hdf5ImageCache:
+    """HDF5-packed detection dataset: encoded image bytes + labels in one file.
+
+    Role of `DataGenerator.create_hdf5_dataset`
+    (`object_detection_2d_data_generator.py:673`): removes per-image
+    filesystem round trips for datasets that fit local disk.  Images are
+    stored as variable-length uint8 (original encoded bytes — no
+    recompression); records come back with an `image_bytes` field the
+    pipelines decode in place of `image_path`.
+    """
+
+    def __init__(self, h5_path: str):
+        import h5py
+
+        self._f = h5py.File(h5_path, "r")
+        self._n = self._f.attrs["n_records"]
+
+    @classmethod
+    def create(cls, dataset, h5_path: str, verbose: bool = False):
+        import h5py
+
+        with h5py.File(h5_path, "w") as f:
+            n = len(dataset)
+            f.attrs["n_records"] = n
+            vlen_u8 = h5py.special_dtype(vlen=np.uint8)
+            vlen_f4 = h5py.special_dtype(vlen=np.float32)
+            images = f.create_dataset("images", (n,), dtype=vlen_u8)
+            boxes = f.create_dataset("boxes", (n,), dtype=vlen_f4)
+            difficult = f.create_dataset(
+                "difficult", (n,), dtype=h5py.special_dtype(vlen=np.uint8)
+            )
+            ids = f.create_dataset(
+                "image_ids", (n,), dtype=h5py.string_dtype()
+            )
+            for i in range(n):
+                rec = dataset[i]
+                with open(rec["image_path"], "rb") as img:
+                    images[i] = np.frombuffer(img.read(), np.uint8)
+                boxes[i] = np.asarray(rec["boxes"], np.float32).reshape(-1)
+                difficult[i] = np.asarray(rec["difficult"], np.uint8)
+                ids[i] = str(rec["image_id"])
+                if verbose and i % 500 == 0:
+                    print(f"hdf5 pack: {i}/{n}")
+        return cls(h5_path)
+
+    def __len__(self):
+        return int(self._n)
+
+    def __getitem__(self, i):
+        return {
+            "image_bytes": bytes(self._f["images"][i]),
+            "boxes": np.asarray(self._f["boxes"][i], np.float32).reshape(-1, 5),
+            "difficult": np.asarray(self._f["difficult"][i], bool),
+            "image_id": (
+                self._f["image_ids"][i].decode()
+                if isinstance(self._f["image_ids"][i], bytes)
+                else str(self._f["image_ids"][i])
+            ),
+        }
+
+    def shard(self, process_index: int, process_count: int):
+        # HDF5-backed sharding: materialize the shard's records lazily via a
+        # view object.
+        parent = self
+
+        class _Shard:
+            def __init__(self):
+                self._idx = list(range(process_index, len(parent),
+                                       process_count))
+
+            def __len__(self):
+                return len(self._idx)
+
+            def __getitem__(self, i):
+                return parent[self._idx[i]]
+
+        return _Shard()
+
+    def close(self):
+        self._f.close()

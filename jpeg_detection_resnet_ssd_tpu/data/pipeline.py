@@ -45,6 +45,16 @@ def _load_rgb(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+def _load_record_rgb(rec: dict) -> np.ndarray:
+    """Decode a detection record's image from bytes (HDF5 cache) or path."""
+    if "image_bytes" in rec:
+        import io
+
+        with Image.open(io.BytesIO(rec["image_bytes"])) as im:
+            return np.asarray(im.convert("RGB"))
+    return _load_rgb(rec["image_path"])
+
+
 def _pack_inputs(images: list[np.ndarray], input_format: str):
     if input_format == "rgb":
         return np.stack(images).astype(np.float32)
@@ -167,7 +177,7 @@ class DetectionPipeline(_BasePipeline):
 
     def _prepare_item(self, index):
         rec = self.dataset[int(index)]
-        image = _load_rgb(rec["image_path"])
+        image = _load_record_rgb(rec)
         labels = rec["boxes"].copy()
         inverter = None
         if self.augmentation is not None:

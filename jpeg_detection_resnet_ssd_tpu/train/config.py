@@ -48,8 +48,12 @@ class ExperimentConfig:
     num_workers: int = 8
     seed: int = 0
 
-    # parallelism
+    # parallelism / precision
     n_model_shards: int = 1
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (params stay f32)
+
+    # observability
+    tensorboard: bool = False
 
     # experiment management
     workspace: str = "local"

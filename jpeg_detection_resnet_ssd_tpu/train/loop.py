@@ -60,8 +60,13 @@ def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
 
 
 def build_trainer(config: ExperimentConfig, mesh=None):
+    import jax.numpy as jnp
+
     mesh = mesh or make_mesh(n_model=config.n_model_shards)
-    module, example_inputs = build_model(config.model, **config.model_kwargs)
+    model_kwargs = dict(config.model_kwargs)
+    if config.compute_dtype != "float32":
+        model_kwargs.setdefault("dtype", jnp.dtype(config.compute_dtype).type)
+    module, example_inputs = build_model(config.model, **model_kwargs)
     if config.task == "detection":
         loss_fn = detection_loss_fn(
             SSDLoss(), l2_scale=config.l2_regularization
@@ -117,11 +122,13 @@ def fit(
                 jax.random.PRNGKey(config.seed), example_inputs()
             )
 
-        ckpt = csv = None
+        from jpeg_detection_resnet_ssd_tpu.train.metrics import MetricWriter
+
+        ckpt = None
+        writer = MetricWriter(run_dir, tensorboard=config.tensorboard)
         start_epoch = 0
         if run_dir is not None:
             ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-            csv = CSVLogger(os.path.join(run_dir, "results", "results.csv"))
             if config.restart and ckpt.latest_step() is not None:
                 state = ckpt.restore(state)
                 start_epoch = int(state.step) // max(config.steps_per_epoch, 1)
@@ -164,10 +171,10 @@ def fit(
                     {f"val_{k}": v for k, v in val_fn(state).items()}
                 )
             history.append(row)
-            if csv is not None:
-                csv.log(row)
+            writer.log(row, step=int(state.step))
             if ckpt is not None:
                 ckpt.save(int(state.step), state, metrics=None)
             if max_steps and steps_done >= max_steps:
                 break
+        writer.close()
         return state, history

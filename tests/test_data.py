@@ -256,3 +256,65 @@ class TestPipelines:
         b1, b2 = next(iter(p1)), next(iter(p2))
         np.testing.assert_array_equal(b1["labels"], b2["labels"])
         np.testing.assert_allclose(b1["inputs"][0], b2["inputs"][0])
+
+
+class TestPresetChains:
+    def _img_labels(self, rng):
+        img = (rng.uniform(0, 255, (160, 200, 3))).astype(np.uint8)
+        labels = np.array([[1, 40, 40, 120, 120], [2, 10, 10, 60, 60]],
+                          np.float32)
+        return img, labels
+
+    def test_constant_input_size_chain(self, rng):
+        img, labels = self._img_labels(rng)
+        chain = aug.DataAugmentationConstantInputSize()
+        for _ in range(5):
+            out, lab = chain(img, labels, rng)
+            assert out.shape == img.shape  # constant size preserved
+            if lab is not None and len(lab):
+                assert (lab[:, 3] > lab[:, 1]).all()
+
+    def test_variable_input_size_chain(self, rng):
+        img, labels = self._img_labels(rng)
+        chain = aug.DataAugmentationVariableInputSize(128, 128)
+        out, lab = chain(img, labels, rng)
+        assert out.shape == (128, 128, 3)
+
+    def test_satellite_chain(self, rng):
+        img, labels = self._img_labels(rng)
+        chain = aug.DataAugmentationSatellite(96, 96)
+        out, lab = chain(img, labels, rng)
+        assert out.shape == (96, 96, 3)
+
+    def test_scale_affine_boxes(self):
+        img = np.full((100, 100, 3), 60, np.uint8)
+        labels = np.array([[1, 40, 40, 60, 60]], np.float32)
+        out, lab = aug.scale_affine(img, labels, 2.0)
+        assert out.shape == (100, 100, 3)
+        # box centered at (50,50) scales about the center: 40->30, 60->70
+        np.testing.assert_allclose(lab[0, 1:], [30, 30, 70, 70], atol=1.0)
+
+
+class TestHdf5Cache:
+    def test_pack_and_read(self, voc_root, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.data.datasets import Hdf5ImageCache
+
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        cache = Hdf5ImageCache.create(ds, str(tmp_path / "cache.h5"))
+        assert len(cache) == len(ds)
+        rec = cache[0]
+        assert rec["boxes"].shape == (2, 5)
+        assert rec["image_bytes"][:2] == b"\xff\xd8"  # JPEG magic
+        # pipeline consumes the cache directly
+        pipe = DetectionPipeline(cache, 2, train=False, encoder=None,
+                                 num_workers=2)
+        batch = next(iter(pipe))
+        y, cbcr = batch["inputs"]
+        assert y.shape == (2, 38, 38, 64)
+        shard = cache.shard(0, 2)
+        assert len(shard) == 2
+        assert shard[0]["image_id"] == cache[0]["image_id"]
