@@ -244,3 +244,79 @@ def prefetch_to_device(iterator, size: int = 2, device_put: bool = True):
         if item is _END:
             break
         yield item
+
+
+class DeviceDCTAugmentedPipeline:
+    """Recompression-free classification pipeline: host decodes ONE oversized
+    DCT map per image; crop/flip run on DEVICE in coefficient space.
+
+    The fast path replacing the reference's per-step pixel-space augment +
+    JPEG re-encode loop (`generators.py:145-183`, the throughput ceiling of
+    its training stack — SURVEY.md §3.1): the host pays one JPEG decode per
+    image per epoch (no re-encode), and `ops.dct_random_crop_flip` applies a
+    batched random 16px-aligned crop + horizontal flip on the accelerator.
+
+    Wraps a `ClassificationPipeline`-style dataset; yields batches with
+    `inputs = (y (B,28,28,64), cbcr (B,14,14,128))` like input_format='dct'.
+    Photometric parity note: pixel-space photometric distortions are not
+    applied on this path (DCT-domain equivalents: brightness = DC shift,
+    contrast = coefficient scale — round-2 work); distribution parity is a
+    metric-level argument (SURVEY.md §7.4).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, train: bool = True,
+                 source_size: int = 256, crop_blocks: int = 28,
+                 photometric: bool = True,
+                 seed: int = 0, num_workers: int = 8, quality: int = 75):
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            classification_eval_view,
+        )
+
+        self.inner = ClassificationPipeline(
+            dataset, batch_size, train=False,  # host does NO pixel augment
+            input_format="dct", image_size=source_size, seed=seed,
+            num_workers=num_workers,
+        )
+        # re-enable epoch shuffling for training
+        self.inner.train = train
+        self.train = train
+        self.crop_blocks = crop_blocks
+        self.photometric = photometric
+        self.seed = seed
+        self._step = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import jax
+
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_random_crop_flip
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
+            dct_random_photometric,
+        )
+
+        for batch in self.inner:
+            y, cbcr = batch["inputs"]
+            if self.train:
+                key = jax.random.PRNGKey((self.seed << 20) ^ self._step)
+                self._step += 1
+                y, cbcr = dct_random_crop_flip(
+                    y, cbcr, key,
+                    out_y_blocks=self.crop_blocks,
+                    out_cbcr_blocks=self.crop_blocks // 2,
+                )
+                if self.photometric:
+                    y, cbcr = dct_random_photometric(
+                        y, cbcr, jax.random.fold_in(key, 1)
+                    )
+            else:
+                # center crop
+                H8 = y.shape[1]
+                off = ((H8 - self.crop_blocks) // 4) * 2
+                y = y[:, off : off + self.crop_blocks,
+                      off : off + self.crop_blocks]
+                offc = off // 2
+                cb = self.crop_blocks // 2
+                cbcr = cbcr[:, offc : offc + cb, offc : offc + cb]
+            yield {"inputs": (y, cbcr), "labels": batch["labels"]}

@@ -150,3 +150,56 @@ def dct_random_crop_flip(
         return yc, cc
 
     return jax.vmap(one)(y, cbcr, y0c, x0c, do_flip)
+
+
+def dct_brightness_contrast(
+    blocks: jnp.ndarray,
+    brightness: jnp.ndarray | float = 0.0,
+    contrast: jnp.ndarray | float = 1.0,
+    is_luma: bool = True,
+):
+    """Photometric adjustment directly in coefficient space.
+
+    Pixel-space `p' = a*(p - 128) + 128 + b` (contrast about the mid-level +
+    additive brightness) is EXACT in DCT space: JPEG coefficients encode the
+    level-shifted signal (p - 128), so every coefficient scales by `a` and the
+    DC term additionally absorbs `8*b` (the 2D DCT's DC gain for a constant).
+    Chroma planes encode (C - 128) already centered, so brightness leaves them
+    untouched (pass is_luma=False, brightness ignored).
+
+    Device-side replacement for the reference's pixel-space RandomBrightness /
+    RandomContrast (`object_detection_2d_photometric_ops.py:225-338`) on the
+    recompression-free path.  `brightness`/`contrast` may be scalars or
+    per-image (B,) arrays for batched augmentation.
+    """
+    blocks = jnp.asarray(blocks, jnp.float32)
+    a = jnp.asarray(contrast, jnp.float32)
+    b = jnp.asarray(brightness, jnp.float32)
+    while a.ndim < blocks.ndim:
+        a = a[..., None]
+        b = b[..., None]
+    out = blocks * a
+    if is_luma:
+        c = blocks.shape[-1]
+        dc_mask = (jnp.arange(c) % 64) == 0
+        out = out + jnp.where(dc_mask, 8.0 * b, 0.0)
+    return out
+
+
+def dct_random_photometric(y, cbcr, rng, brightness_range=32.0,
+                           contrast_range=(0.5, 1.5), prob=0.5):
+    """Batched random brightness+contrast in DCT space (per-image params)."""
+    B = y.shape[0]
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    bright = jax.random.uniform(
+        k1, (B,), minval=-brightness_range, maxval=brightness_range
+    ) * jax.random.bernoulli(k2, prob, (B,))
+    contrast = jnp.where(
+        jax.random.bernoulli(k4, prob, (B,)),
+        jax.random.uniform(k3, (B,), minval=contrast_range[0],
+                           maxval=contrast_range[1]),
+        1.0,
+    )
+    y = dct_brightness_contrast(y, bright, contrast, is_luma=True)
+    cbcr = dct_brightness_contrast(cbcr, 0.0, contrast, is_luma=False)
+    return y, cbcr

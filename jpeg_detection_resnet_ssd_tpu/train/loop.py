@@ -23,10 +23,7 @@ from jpeg_detection_resnet_ssd_tpu.losses import SSDLoss
 from jpeg_detection_resnet_ssd_tpu.models import build_model
 from jpeg_detection_resnet_ssd_tpu.parallel import make_mesh
 from jpeg_detection_resnet_ssd_tpu.parallel.mesh import tensor_parallel_rule
-from jpeg_detection_resnet_ssd_tpu.train.checkpoints import (
-    CheckpointManager,
-    CSVLogger,
-)
+from jpeg_detection_resnet_ssd_tpu.train.checkpoints import CheckpointManager
 from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
 from jpeg_detection_resnet_ssd_tpu.train.schedules import (
     keras_inverse_time_decay,

@@ -318,3 +318,29 @@ class TestHdf5Cache:
         shard = cache.shard(0, 2)
         assert len(shard) == 2
         assert shard[0]["image_id"] == cache[0]["image_id"]
+
+
+class TestDeviceDCTAugment:
+    def test_device_augmented_batches(self, imagenet_root):
+        from jpeg_detection_resnet_ssd_tpu.data.pipeline import (
+            DeviceDCTAugmentedPipeline,
+        )
+
+        ds = ImageFolderDataset(imagenet_root)
+        pipe = DeviceDCTAugmentedPipeline(
+            ds, 4, train=True, source_size=256, num_workers=2
+        )
+        batch = next(iter(pipe))
+        y, cbcr = batch["inputs"]
+        assert np.asarray(y).shape == (4, 28, 28, 64)
+        assert np.asarray(cbcr).shape == (4, 14, 14, 128)
+        # eval mode: deterministic center crop
+        pipe_ev = DeviceDCTAugmentedPipeline(
+            ds, 4, train=False, source_size=256, num_workers=2
+        )
+        b1 = next(iter(pipe_ev))
+        b2 = next(iter(DeviceDCTAugmentedPipeline(
+            ds, 4, train=False, source_size=256, num_workers=2)))
+        np.testing.assert_allclose(
+            np.asarray(b1["inputs"][0]), np.asarray(b2["inputs"][0])
+        )

@@ -140,3 +140,38 @@ class TestUtils:
         from jpeg_detection_resnet_ssd_tpu.utils import is_primary_process
 
         assert is_primary_process() is True
+
+
+class TestDCTPhotometric:
+    def test_brightness_contrast_pixel_parity(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
+            dct_brightness_contrast,
+        )
+
+        blocks = decode_plane(rng)
+        a, b = 1.3, 17.0
+        adjusted = np.asarray(
+            dct_brightness_contrast(jnp.asarray(blocks), b, a, is_luma=True)
+        )
+        pix = blocks_to_pixels(blocks)
+        expected = a * (pix - 128.0) + 128.0 + b
+        np.testing.assert_allclose(
+            blocks_to_pixels(adjusted), expected, atol=1e-2
+        )
+
+    def test_batched_random_photometric(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
+            dct_random_photometric,
+        )
+
+        y = rng.normal(0, 50, (4, 8, 8, 64)).astype(np.float32)
+        cbcr = rng.normal(0, 20, (4, 4, 4, 128)).astype(np.float32)
+        yo, co = dct_random_photometric(
+            jnp.asarray(y), jnp.asarray(cbcr), jax.random.PRNGKey(0)
+        )
+        assert yo.shape == y.shape and co.shape == cbcr.shape
+        # deterministic under same key
+        yo2, _ = dct_random_photometric(
+            jnp.asarray(y), jnp.asarray(cbcr), jax.random.PRNGKey(0)
+        )
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yo2))

@@ -163,3 +163,18 @@ def test_compute_map_cli(tmp_path):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["AP"][11] == pytest.approx(1.0)  # dog is class 12 -> index 11
     assert out["mAP"] == pytest.approx(1.0 / 20.0)
+
+
+def test_bf16_compute_dtype_plumbs(tmp_path):
+    """config.compute_dtype='bfloat16' reaches the model's compute dtype."""
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+    config = make_config(tmp_path)
+    config.model = "vgga_dct"
+    config.model_kwargs = {"num_classes": 3}
+    config.input_format = "dct"
+    config.compute_dtype = "bfloat16"
+    trainer, module, example = build_trainer(config)
+    assert module.dtype == jnp.bfloat16
