@@ -234,6 +234,46 @@ def cmd_evaluate(args):
     print(json.dumps({"mAP": mean_ap, "AP": aps[1:]}))
 
 
+def cmd_evaluate_classify(args):
+    """ImageNet-style top-1/top-5 evaluation of a classification run
+    (role of `classification_part/evaluate.py`)."""
+    import jax
+
+    from jpeg_detection_resnet_ssd_tpu.data import (
+        ClassificationPipeline,
+        ImageFolderDataset,
+    )
+    from jpeg_detection_resnet_ssd_tpu.eval import ClassificationEvaluator
+    from jpeg_detection_resnet_ssd_tpu.train.checkpoints import CheckpointManager
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+    config = ExperimentConfig.load(
+        os.path.join(args.run_dir, "saved_config.json")
+    )
+    trainer, module, example_inputs = build_trainer(config)
+    with trainer.mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), example_inputs())
+        ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
+        state = ckpt.restore(state)
+
+        @jax.jit
+        def infer(inputs):
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            return module.apply(variables, inputs, train=False)
+
+        ds = ImageFolderDataset(args.val_dir, args.class_index_json)
+        pipe = ClassificationPipeline(
+            ds, args.batch_size, train=False,
+            input_format=config.input_format,
+            num_workers=config.num_workers, drop_remainder=True,
+        )
+        result = ClassificationEvaluator(infer, pipe)()
+    print(json.dumps(result))
+
+
 def cmd_compute_map(args):
     """Offline mAP from VOC-format txt predictions + XML ground truth
     (role of `localisation_part/compute_map.py`)."""
@@ -391,6 +431,13 @@ def build_parser():
                     choices=["integrate", "sample"])
     ev.add_argument("--out-dir", default=None)
     ev.set_defaults(fn=cmd_evaluate)
+
+    ec = sub.add_parser("evaluate-classify")
+    ec.add_argument("--run-dir", required=True)
+    ec.add_argument("--val-dir", required=True)
+    ec.add_argument("--class-index-json", default=None)
+    ec.add_argument("--batch-size", type=int, default=64)
+    ec.set_defaults(fn=cmd_evaluate_classify)
 
     cm = sub.add_parser("compute-map")
     cm.add_argument("--pred-dir", required=True)

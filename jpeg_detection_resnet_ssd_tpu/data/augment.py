@@ -641,3 +641,42 @@ class DataAugmentationSatellite:
             image, labels = rotate90(image, labels, int(rng.integers(1, 4)))
         image, labels = self.patch(image, labels, rng)
         return self.resize(image, labels, rng, return_inverter=return_inverter)
+
+
+def rotate_angle(image, labels, angle, scale=1.0, background=(123, 117, 104),
+                 clip_boxes=True):
+    """Arbitrary-angle rotation about the image center with box rewriting
+    (`Rotate`, `object_detection_2d_geometric_ops.py:659`): each box's four
+    corners are mapped through the rotation and re-boxed axis-aligned (the
+    standard loose-fit convention); boxes whose centers leave the canvas are
+    dropped."""
+    h, w = image.shape[:2]
+    M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, scale)
+    out = cv2.warpAffine(
+        image, M, (w, h), borderMode=cv2.BORDER_CONSTANT,
+        borderValue=tuple(int(c) for c in background),
+    )
+    if labels is not None and len(labels):
+        labels = labels.astype(np.float32).copy()
+        x0, y0, x1, y1 = (labels[:, i] for i in (1, 2, 3, 4))
+        corners = np.stack(
+            [
+                np.stack([x0, y0], 1), np.stack([x1, y0], 1),
+                np.stack([x0, y1], 1), np.stack([x1, y1], 1),
+            ],
+            axis=1,
+        )  # (k, 4, 2)
+        ones = np.ones((*corners.shape[:2], 1), np.float32)
+        mapped = np.concatenate([corners, ones], -1) @ M.T  # (k, 4, 2)
+        labels[:, 1] = mapped[..., 0].min(1)
+        labels[:, 3] = mapped[..., 0].max(1)
+        labels[:, 2] = mapped[..., 1].min(1)
+        labels[:, 4] = mapped[..., 1].max(1)
+        cx = (labels[:, 1] + labels[:, 3]) / 2
+        cy = (labels[:, 2] + labels[:, 4]) / 2
+        keep = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        labels = labels[keep]
+        if clip_boxes and len(labels):
+            labels[:, [1, 3]] = labels[:, [1, 3]].clip(0, w - 1)
+            labels[:, [2, 4]] = labels[:, [2, 4]].clip(0, h - 1)
+    return out, labels

@@ -344,3 +344,16 @@ class TestDeviceDCTAugment:
         np.testing.assert_allclose(
             np.asarray(b1["inputs"][0]), np.asarray(b2["inputs"][0])
         )
+
+
+def test_rotate_angle_boxes():
+    img = np.full((100, 100, 3), 80, np.uint8)
+    labels = np.array([[1, 40, 40, 60, 60]], np.float32)
+    out, lab = aug.rotate_angle(img, labels, 90)
+    assert out.shape == (100, 100, 3)
+    # 90-degree rotation of a centered square stays (approximately) in place
+    np.testing.assert_allclose(lab[0, 1:], [40, 40, 60, 60], atol=1.5)
+    out, lab = aug.rotate_angle(img, labels, 45)
+    # 45-degree loose fit: sqrt(2) * 20 wide box, still centered
+    w = lab[0, 3] - lab[0, 1]
+    np.testing.assert_allclose(w, 20 * np.sqrt(2), atol=1.5)
