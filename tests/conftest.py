@@ -25,6 +25,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: model-sized CPU compiles dominate suite
+# wall time; caching them across runs cuts repeat suites by minutes.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
