@@ -180,6 +180,27 @@ class TargetEncoder:
     def n_boxes(self) -> int:
         return self.anchors.shape[0]
 
+    @property
+    def encode_fn(self):
+        """Unjitted batched encode (gt, gt_mask) -> targets, for fusing INTO a
+        larger jit program (e.g. the train step) so padded GT — ~1000x smaller
+        than encoded targets — is what crosses the host->device boundary."""
+        anchors = jnp.asarray(self.anchors)
+        fn = functools.partial(
+            encode_targets,
+            anchors=anchors,
+            n_classes=self.n_classes,
+            img_height=self.spec.img_height,
+            img_width=self.spec.img_width,
+            pos_iou_threshold=self.pos_iou_threshold,
+            neg_iou_limit=self.neg_iou_limit,
+            border_pixels=self.border_pixels,
+            normalize_coords=self.spec.normalize_coords,
+            matching_type=self.matching_type,
+            log_scale_offsets=self.log_scale_offsets,
+        )
+        return jax.vmap(fn)
+
     @functools.cached_property
     def _encode_batch(self):
         anchors = jnp.asarray(self.anchors)

@@ -161,10 +161,12 @@ def cmd_train_detect(args):
         n_classes=20,
     )
     augmentation = SSDDataAugmentation(crop=args.crop)
+    # device_encode: ship raw padded GT; target encoding fuses into the
+    # compiled train step (minimal host->device transfer).
     pipe = DetectionPipeline(
         ds, config.batch_size, train=True, encoder=encoder,
         augmentation=augmentation, input_format=config.input_format,
-        num_workers=config.num_workers, seed=config.seed,
+        num_workers=config.num_workers, seed=config.seed, device_encode=True,
     )
     run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}")
@@ -173,6 +175,7 @@ def cmd_train_detect(args):
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.max_steps,
         init_variables=init_vars, mesh=trainer.mesh,
+        target_encoder=encoder.encode_fn,
     )
     print(json.dumps(history[-1] if history else {}))
 

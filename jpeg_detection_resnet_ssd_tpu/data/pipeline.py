@@ -165,10 +165,15 @@ class DetectionPipeline(_BasePipeline):
     def __init__(self, dataset, batch_size: int, *, train: bool,
                  encoder=None, augmentation: Callable | None = None,
                  input_format: str = "dct", img_height: int = 300,
-                 img_width: int = 300, max_gt: int = 64, **kw):
+                 img_width: int = 300, max_gt: int = 64,
+                 device_encode: bool = False, **kw):
         super().__init__(dataset, batch_size, train=train,
                          input_format=input_format, **kw)
         self.encoder = encoder
+        # device_encode: emit raw padded GT ('gt'/'gt_mask') instead of encoded
+        # 'targets'; pair with Trainer(target_encoder=encoder.encode_fn) to
+        # fuse encoding into the train step (minimizes host->device transfer).
+        self.device_encode = device_encode
         self.img_height, self.img_width = img_height, img_width
         self.max_gt = max_gt
         if augmentation is None and train:
@@ -203,7 +208,11 @@ class DetectionPipeline(_BasePipeline):
         }
         if self.encoder is not None:
             gt, mask = self.encoder.pad_labels(labels_list, self.max_gt)
-            batch["targets"] = np.asarray(self.encoder(gt, mask))
+            if self.device_encode:
+                batch["gt"] = gt
+                batch["gt_mask"] = mask
+            else:
+                batch["targets"] = np.asarray(self.encoder(gt, mask))
         else:
             # Evaluation contract: original-coordinate GT + inverse transforms
             # (`average_precision_evaluator.py:323-422`).

@@ -56,7 +56,7 @@ def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
                      nesterov=config.nesterov)
 
 
-def build_trainer(config: ExperimentConfig, mesh=None):
+def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None):
     import jax.numpy as jnp
 
     mesh = mesh or make_mesh(n_model=config.n_model_shards)
@@ -77,6 +77,7 @@ def build_trainer(config: ExperimentConfig, mesh=None):
         optimizer=build_optimizer(config, n_replicas),
         mesh=mesh,
         tp_rule=tensor_parallel_rule if config.n_model_shards > 1 else None,
+        target_encoder=target_encoder,
     )
     return trainer, module, example_inputs
 
@@ -90,9 +91,10 @@ def fit(
     mesh=None,
     init_variables=None,
     log_every: int = 50,
+    target_encoder=None,
 ) -> tuple[Any, list[dict]]:
     """Train per `config`; returns (final TrainState, history of epoch rows)."""
-    trainer, module, example_inputs = build_trainer(config, mesh)
+    trainer, module, example_inputs = build_trainer(config, mesh, target_encoder)
     mesh = trainer.mesh
     n_data = mesh.shape.get("data", 1)
     if config.batch_size % n_data != 0:

@@ -109,3 +109,26 @@ def test_ssd_custom_param_names_match_reference():
     head = params["head"]
     assert "conv4_3_norm_mbox_conf_21" in head
     assert "conv9_2_mbox_loc" in head
+
+
+def test_identical_family_gradients_flow():
+    """Gradient smoke through the DCTStem + identical-EF SSD path."""
+    import jax.numpy as jnp
+
+    module, example = build_model("ssd300_y_cb4_cbcr_cb5", n_classes=3)
+    inputs = example()
+    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+
+    def loss(params):
+        out = module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            inputs, train=False,
+        )
+        return jnp.mean(out[..., :4] ** 2) + jnp.mean(out[..., -12:-8] ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # stems actually receive gradient signal
+    stem_grads = jax.tree_util.tree_leaves(grads["stem"])
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in stem_grads)

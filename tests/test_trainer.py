@@ -138,3 +138,67 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_in_step_target_encoding(rng):
+    """Trainer with target_encoder: raw GT batches produce the same update as
+    pre-encoded target batches."""
+    import numpy as np
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+
+    enc = TargetEncoder(
+        spec=AnchorSpec(img_height=96, img_width=96,
+                        scales=(0.2, 0.4, 0.6), steps=None,
+                        aspect_ratios=((1.0, 2.0), (1.0, 2.0))),
+        predictor_sizes=((4, 4), (2, 2)),
+        n_classes=3,
+    )
+    n_boxes = enc.n_boxes
+
+    class TinyDet(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, train=False):
+            y, cbcr = inputs
+            x = nn.relu(nn.Conv(16, (3, 3), name="c")(y))
+            x = jnp.mean(x, axis=(1, 2))
+            out = nn.Dense(n_boxes * 8, name="h")(x).reshape(
+                x.shape[0], n_boxes, 8
+            )
+            conf = jax.nn.softmax(out[..., :4])
+            anchors = jnp.broadcast_to(
+                jnp.asarray(enc.anchors)[None], (x.shape[0], n_boxes, 8)
+            )
+            return jnp.concatenate([conf, out[..., 4:], anchors], -1)
+
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    y = rng.normal(0, 1, (2, 12, 12, 16)).astype(np.float32)
+    cbcr = rng.normal(0, 1, (2, 6, 6, 32)).astype(np.float32)
+    gt = np.zeros((2, 4, 5), np.float32)
+    gt[:, 0] = [1, 10, 10, 50, 50]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+
+    def build(encoder_fn):
+        return Trainer(
+            model=TinyDet(), loss_fn=detection_loss_fn(l2_scale=0.0),
+            optimizer=optax.sgd(1e-2), mesh=mesh, donate=False,
+            target_encoder=encoder_fn,
+        )
+
+    with mesh:
+        t1 = build(enc.encode_fn)
+        state1 = t1.init_state(jax.random.PRNGKey(0), (y, cbcr))
+        b1 = {"inputs": (y, cbcr), "gt": gt, "gt_mask": mask}
+        state1, m1 = t1.train_step(state1, b1, jax.random.PRNGKey(1))
+
+        t2 = build(None)
+        state2 = t2.init_state(jax.random.PRNGKey(0), (y, cbcr))
+        b2 = {"inputs": (y, cbcr), "targets": np.asarray(enc(gt, mask))}
+        state2, m2 = t2.train_step(state2, b2, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
