@@ -51,9 +51,24 @@ class ResNetBlocks(nn.Module):
     `_identity_block` / `_conv_block` mirror `resnet_dct.py:59-163`: 1x1 ->
     kxk('same') -> 1x1 bottleneck with BatchNorm after each conv, residual add,
     final relu; the conv variant adds a strided 1x1 projection shortcut.
+
+    `remat=True` rematerializes each bottleneck branch on the backward pass
+    (`jax.checkpoint` via flax's lifted transform): activations inside the
+    branch are recomputed instead of stored, trading ~30% extra forward FLOPs
+    for O(depth) less activation memory — the lever for scaling batch size or
+    input resolution past HBM limits.
     """
 
     dtype: Any = jnp.float32
+    remat: bool = False
+
+    def _branch_fn(self):
+        if self.remat:
+            # static args: filters/kernel/stage/block/strides/train
+            return nn.remat(
+                type(self)._branch, static_argnums=(2, 3, 4, 5, 6, 7)
+            )
+        return type(self)._branch
 
     def _branch(self, x, filters, kernel, stage, block, strides, train):
         f1, f2, f3 = filters
@@ -70,11 +85,15 @@ class ResNetBlocks(nn.Module):
         return y
 
     def _identity_block(self, x, kernel, filters, stage, block, train):
-        y = self._branch(x, filters, kernel, stage, block, (1, 1), train)
+        y = self._branch_fn()(
+            self, x, tuple(filters), kernel, stage, block, (1, 1), train
+        )
         return nn.relu(y + x)
 
     def _conv_block(self, x, kernel, filters, stage, block, train, strides=(2, 2)):
-        y = self._branch(x, filters, kernel, stage, block, strides, train)
+        y = self._branch_fn()(
+            self, x, tuple(filters), kernel, stage, block, tuple(strides), train
+        )
         cn = f"res{stage}{block}_branch"
         bn = f"bn{stage}{block}_branch"
         sc = conv(filters[2], 1, strides, "VALID", name=cn + "1", dtype=self.dtype)(x)
@@ -235,7 +254,8 @@ class ResNet50DCT(ResNetBlocks):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        x, _ = DCTStem(archi=self.archi, dtype=self.dtype, name="stem")(
+        x, _ = DCTStem(archi=self.archi, dtype=self.dtype,
+                       remat=self.remat, name="stem")(
             inputs, train=train
         )
         x = self._block5(x, train)

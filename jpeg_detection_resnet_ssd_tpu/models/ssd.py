@@ -223,7 +223,8 @@ class SSDResNetIdentical(_SSDNeckMixin):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         stem_archi = "up_sampling_rfa" if self.archi == "up_sampling" else self.archi
-        x, _ = DCTStem(archi=stem_archi, dtype=self.dtype, name="stem")(
+        x, _ = DCTStem(archi=stem_archi, dtype=self.dtype,
+                       remat=self.remat, name="stem")(
             inputs, train=train
         )
         x = self._block5(x, train)  # -> 10x10x2048

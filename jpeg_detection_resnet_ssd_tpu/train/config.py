@@ -51,6 +51,7 @@ class ExperimentConfig:
     # parallelism / precision
     n_model_shards: int = 1
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (params stay f32)
+    remat: bool = False  # rematerialize ResNet bottleneck branches (memory)
 
     # observability
     tensorboard: bool = False

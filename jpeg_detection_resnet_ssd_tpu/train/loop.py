@@ -63,6 +63,8 @@ def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None):
     model_kwargs = dict(config.model_kwargs)
     if config.compute_dtype != "float32":
         model_kwargs.setdefault("dtype", jnp.dtype(config.compute_dtype).type)
+    if config.remat:
+        model_kwargs.setdefault("remat", True)
     module, example_inputs = build_model(config.model, **model_kwargs)
     if config.task == "detection":
         loss_fn = detection_loss_fn(

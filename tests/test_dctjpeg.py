@@ -155,3 +155,29 @@ class TestGolden:
         assert (int(y.sum()), int(cb.sum()), int(cr.sum())) == (
             -21752, 1827, 4149,
         )
+
+
+class TestProgressive:
+    def test_progressive_jpeg_decodes(self, rng):
+        """Progressive JPEGs (present in raw ImageNet) decode identically to
+        their baseline re-encoding at the coefficient level."""
+        arr_buf = make_jpeg(rng, (96, 96), quality=85, subsampling=2,
+                            smooth=True)
+        img = Image.open(io.BytesIO(arr_buf))
+        base = io.BytesIO()
+        prog = io.BytesIO()
+        img.save(base, "jpeg", quality=90, subsampling=2)
+        img.save(prog, "jpeg", quality=90, subsampling=2, progressive=True)
+        yb, cbb, crb = dctjpeg.loads(base.getvalue())
+        yp, cbp, crp = dctjpeg.loads(prog.getvalue())
+        assert yp.shape == yb.shape
+        np.testing.assert_array_equal(yp, yb)
+        np.testing.assert_array_equal(cbp, cbb)
+
+    def test_restart_markers(self, rng):
+        buf0 = make_jpeg(rng, (64, 64), quality=85, smooth=True)
+        img = Image.open(io.BytesIO(buf0))
+        with_rst = io.BytesIO()
+        img.save(with_rst, "jpeg", quality=90, restart_marker_blocks=2)
+        y, cb, cr = dctjpeg.loads(with_rst.getvalue())
+        assert y.shape == (8, 8, 64)

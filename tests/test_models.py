@@ -132,3 +132,34 @@ def test_identical_family_gradients_flow():
     # stems actually receive gradient signal
     stem_grads = jax.tree_util.tree_leaves(grads["stem"])
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in stem_grads)
+
+
+def test_remat_equivalence():
+    """remat=True preserves the param tree, outputs, and gradients."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(0, 1, (2, 28, 28, 64)).astype(np.float32)
+    cbcr = rng.normal(0, 1, (2, 14, 14, 128)).astype(np.float32)
+    m1, _ = build_model("resnet50_dct_cb5_only", num_classes=5)
+    m2, _ = build_model("resnet50_dct_cb5_only", num_classes=5, remat=True)
+    v1 = m1.init(jax.random.PRNGKey(0), (y, cbcr), train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), (y, cbcr), train=False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    o1 = np.asarray(m1.apply(v1, (y, cbcr), train=False))
+    o2 = np.asarray(m2.apply(v2, (y, cbcr), train=False))
+    np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+    def grad_of(m, v):
+        def f(p):
+            out = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                (y, cbcr), train=False,
+            )
+            return jnp.mean(out ** 2)
+        return jax.grad(f)(v["params"])
+
+    g1 = jax.tree_util.tree_leaves(grad_of(m1, v1))
+    g2 = jax.tree_util.tree_leaves(grad_of(m2, v2))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
