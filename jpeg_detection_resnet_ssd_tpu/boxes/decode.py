@@ -141,6 +141,7 @@ def decode_detections(
     img_height: int = 300,
     img_width: int = 300,
     border_pixels: str = "half",
+    nms_impl: str = "xla",
 ) -> jax.Array:
     """Full batched decode: (B, n_boxes, n_cls+1+12) -> (B, top_k, 6).
 
@@ -148,6 +149,10 @@ def decode_detections(
     descending confidence, zero-padded — the contract of the reference's
     inference-mode model head (`keras_layer_DecodeDetections.py:109-265`).
     `n_classes` is the number of POSITIVE classes (background excluded).
+
+    `nms_impl`: 'xla' (lax.fori_loop suppression, runs anywhere) or 'pallas'
+    (single VMEM-resident kernel over all batch x class problems — see
+    `ops.pallas_nms`; TPU only, or interpret mode elsewhere).
     """
     scores, boxes = decode_raw_predictions(
         y_pred,
@@ -156,40 +161,66 @@ def decode_detections(
         img_height=img_height,
         img_width=img_width,
     )
+    B, n_boxes = boxes.shape[0], boxes.shape[1]
+    C = n_classes
+    k = min(nms_max_output_size, n_boxes)
 
-    def per_image(scores_i, boxes_i):
-        # (n_classes, n_boxes): positive-class scores, class axis leading.
-        pos_scores = jnp.moveaxis(scores_i[:, 1 : n_classes + 1], -1, 0)
-        cls_nms = jax.vmap(
-            functools.partial(
-                nms_per_class,
-                confidence_thresh=confidence_thresh,
-                iou_threshold=iou_threshold,
-                nms_max_output_size=nms_max_output_size,
-                border_pixels=border_pixels,
-            ),
-            in_axes=(None, 0),
+    # per-(image, class) candidate selection: confidence threshold + top-k
+    pos = jnp.moveaxis(scores[..., 1 : C + 1], -1, 1)  # (B, C, n_boxes)
+    masked = jnp.where(pos > confidence_thresh, pos, 0.0)
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, k)
+    top_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], top_idx[..., None], axis=2
+    )  # (B, C, k, 4)
+
+    if nms_impl == "pallas":
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_nms import (
+            pallas_batched_nms_mask,
         )
-        kept_scores, kept_boxes = cls_nms(boxes_i, pos_scores)  # (C, k), (C, k, 4)
-        C, k = kept_scores.shape
-        class_ids = jnp.broadcast_to(
-            jnp.arange(1, C + 1, dtype=jnp.float32)[:, None], (C, k)
-        )
-        flat_scores = kept_scores.reshape(-1)
-        flat_boxes = kept_boxes.reshape(-1, 4)
-        flat_cls = class_ids.reshape(-1)
-        best, idx = jax.lax.top_k(flat_scores, top_k)
-        rows = jnp.concatenate(
-            [
-                jnp.where(best > 0, flat_cls[idx], 0.0)[:, None],
-                best[:, None],
-                jnp.where(best[:, None] > 0, flat_boxes[idx], 0.0),
+
+        interpret = jax.devices()[0].platform != "tpu"
+        keep = pallas_batched_nms_mask(
+            top_boxes.reshape(B * C, k, 4),
+            top_scores.reshape(B * C, k),
+            iou_threshold=iou_threshold,
+            border_delta={"half": 0.0, "include": 1.0, "exclude": -1.0}[
+                border_pixels
             ],
-            axis=-1,
-        )
-        return rows
+            interpret=interpret,
+        ).reshape(B, C, k)
+    else:
+        keep = jax.vmap(
+            jax.vmap(
+                lambda b, s: _greedy_nms_mask(
+                    b, s, iou_threshold, border_pixels
+                )
+            )
+        )(top_boxes, top_scores)
 
-    return jax.vmap(per_image)(scores, boxes)
+    kept_scores = jnp.where(keep, top_scores, 0.0)  # (B, C, k)
+
+    class_ids = jnp.broadcast_to(
+        jnp.arange(1, C + 1, dtype=jnp.float32)[None, :, None], (B, C, k)
+    )
+    flat_scores = kept_scores.reshape(B, -1)
+    flat_boxes = top_boxes.reshape(B, -1, 4)
+    flat_cls = class_ids.reshape(B, -1)
+    best, idx = jax.lax.top_k(flat_scores, top_k)  # (B, top_k)
+    rows = jnp.concatenate(
+        [
+            jnp.where(best > 0, jnp.take_along_axis(flat_cls, idx, 1), 0.0)[
+                ..., None
+            ],
+            best[..., None],
+            jnp.where(
+                best[..., None] > 0,
+                jnp.take_along_axis(flat_boxes, idx[..., None], 1),
+                0.0,
+            ),
+        ],
+        axis=-1,
+    )
+    return rows
 
 
 def decode_detections_fast(

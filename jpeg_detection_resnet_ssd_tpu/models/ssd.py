@@ -411,6 +411,7 @@ def make_inference_fn(
     iou_threshold: float = 0.45,
     top_k: int = 200,
     nms_max_output_size: int = 400,
+    nms_impl: str = "xla",
 ):
     """Decode hook turning training-mode output into (B, top_k, 6) detections.
 
@@ -428,4 +429,5 @@ def make_inference_fn(
         normalize_coords=spec.normalize_coords,
         img_height=spec.img_height,
         img_width=spec.img_width,
+        nms_impl=nms_impl,
     )

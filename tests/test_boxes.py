@@ -329,3 +329,40 @@ def test_coco_writer(tmp_path):
     assert out[0]["category_id"] == 17
     assert out[0]["image_id"] == 42
     assert out[0]["bbox"] == [10.0, 20.0, 20.0, 40.0]
+
+
+class TestPallasNMS:
+    def test_pallas_matches_xla_decode(self, rng):
+        """'pallas' nms_impl (interpret mode on CPU) == 'xla' decode."""
+        n_classes = 3
+        td = TestDecode()
+        y = td._fake_preds(rng, n_boxes=100, n_classes=n_classes)
+        kw = dict(n_classes=n_classes, confidence_thresh=0.3,
+                  iou_threshold=0.45, top_k=30, nms_max_output_size=32,
+                  img_height=300, img_width=300)
+        a = np.asarray(decode_detections(jnp.asarray(y), nms_impl="xla", **kw))
+        b = np.asarray(decode_detections(jnp.asarray(y), nms_impl="pallas", **kw))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_pallas_mask_matches_oracle(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_nms import (
+            pallas_batched_nms_mask,
+        )
+
+        N, K = 6, 24
+        xy = rng.uniform(0, 200, (N, K, 2))
+        wh = rng.uniform(20, 120, (N, K, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = np.sort(
+            rng.uniform(0.01, 1, (N, K)).astype(np.float32), axis=1
+        )[:, ::-1].copy()
+        scores[:, -4:] = 0.0  # padded slots
+        keep = np.asarray(pallas_batched_nms_mask(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.45, interpret=True
+        ))
+        for n in range(N):
+            expect = oracles.greedy_nms(
+                boxes[n].astype(np.float64), scores[n].astype(np.float64), 0.45
+            )
+            got = sorted(np.nonzero(keep[n])[0].tolist())
+            assert got == sorted(expect), (n, got, expect)
