@@ -231,10 +231,20 @@ def cmd_evaluate(args):
             input_format=config.input_format, num_workers=config.num_workers,
         )
         ev = DetectionEvaluator(infer, pipe, n_classes=20)
-        mean_ap, aps, _ = ev(average_precision_mode=args.ap_mode)
+        if args.predict_only:
+            # Test-server sets without annotations (`evaluation.py:225-232`):
+            # run inference + write VOC files, skip matching/mAP.
+            ev.predict_on_dataset()
+            mean_ap, aps = None, []
+        else:
+            mean_ap, aps, _ = ev(average_precision_mode=args.ap_mode)
     if args.out_dir:
         write_voc_detection_files(ev.prediction_results, args.out_dir)
-    print(json.dumps({"mAP": mean_ap, "AP": aps[1:]}))
+    if args.predict_only:
+        n_preds = sum(len(p) for p in ev.prediction_results)
+        print(json.dumps({"predictions": n_preds, "out_dir": args.out_dir}))
+    else:
+        print(json.dumps({"mAP": mean_ap, "AP": aps[1:]}))
 
 
 def cmd_evaluate_classify(args):
@@ -433,6 +443,9 @@ def build_parser():
     ev.add_argument("--ap-mode", default="integrate",
                     choices=["integrate", "sample"])
     ev.add_argument("--out-dir", default=None)
+    ev.add_argument("--predict-only", action="store_true",
+                    help="write predictions without computing mAP "
+                         "(for annotation-less test sets)")
     ev.set_defaults(fn=cmd_evaluate)
 
     ec = sub.add_parser("evaluate-classify")

@@ -153,3 +153,35 @@ def test_h5_export_import_roundtrip(tmp_path):
     out_ref = np.asarray(module.apply(v1, inputs, train=False))
     assert not np.allclose(out_before, out_ref)  # different inits differ
     np.testing.assert_allclose(out_loaded, out_ref, atol=1e-6)
+
+
+def test_classification_to_detection_transfer(tmp_path):
+    """The reference's transfer story (`training_dct_pascal_j2d_resnet.py:
+    137-149`): classification-trained stem weights load by name into the
+    detection model (conv kernels are input-size-agnostic)."""
+    from jpeg_detection_resnet_ssd_tpu.compat import (
+        export_keras_h5,
+        import_weights_by_name,
+    )
+
+    cls_module, cls_example = build_model("resnet50_dct_cb5_only",
+                                          num_classes=9)
+    cls_vars = cls_module.init(jax.random.PRNGKey(3), cls_example(),
+                               train=False)
+    h5 = str(tmp_path / "cls.h5")
+    export_keras_h5(cls_vars, h5)
+
+    det_module, det_example = build_model("ssd300_cb5_only", n_classes=20)
+    det_vars = det_module.init(jax.random.PRNGKey(4), det_example(),
+                               train=False)
+    new_vars, report = import_weights_by_name(det_vars, h5)
+    # backbone blocks transfer; the classifier head (fc1000) does not
+    assert "res1a2_branch2a" in report["loaded"]
+    assert "res5a_branch2a" in report["loaded"]
+    assert "fc1000" in report["skipped"]
+    np.testing.assert_allclose(
+        np.asarray(new_vars["params"]["stem"]["res1a2_branch2a"]["kernel"]),
+        np.asarray(cls_vars["params"]["stem"]["res1a2_branch2a"]["kernel"]),
+    )
+    out = det_module.apply(new_vars, det_example(), train=False)
+    assert np.isfinite(np.asarray(out)).all()
