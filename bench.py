@@ -4,6 +4,12 @@ Measures the flagship detector — forward pass + full in-graph decode (per-clas
 NMS + global top-k), i.e. the work the reference does in 'inference' mode
 (`keras_ssd300_dct_j2d_resnet.py:884-896`) — in images/sec on one chip.
 
+Methodology (important): N executions are CHAINED inside one jitted program
+via a data dependency (each iteration's input is perturbed by the previous
+output), and completion is forced by a host readback of the final scalar.
+Plain `block_until_ready` loops over-report by >20x under this environment's
+TPU relay (async acks) — see BENCHMARK.md "measurement integrity".
+
 Baseline: the reference never publishes throughput (BASELINE.md).  We bound
 the P100 reference at 100 images/sec: SSD300-class Keras/TF-1.8 graphs with
 in-graph per-class NMS ran at ~40-70 FPS on a P100 in contemporary reports,
@@ -20,12 +26,13 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 P100_BASELINE_IMAGES_PER_SEC = 100.0
 BATCH = 32
-WARMUP = 3
-ITERS = 20
+CHAIN = 20
+TRIALS = 3
 
 
 def main():
@@ -40,25 +47,35 @@ def main():
     decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
 
     @jax.jit
-    def infer(variables, y, cbcr):
-        preds = module.apply(variables, (y, cbcr), train=False)
-        return decode(preds)
+    def chained(variables, y, cbcr):
+        def body(carry, _):
+            acc, yy = carry
+            out = decode(module.apply(variables, (yy, cbcr), train=False))
+            ds = jnp.sum(out[:, :, 1])
+            # Perturb the next input by the previous output: a true data
+            # dependency, so the device must execute all CHAIN iterations.
+            return (acc + ds, y + ds * 1e-9), None
 
-    # Warmup (includes compile)
-    for _ in range(WARMUP):
-        out = jax.block_until_ready(infer(variables, y, cbcr))
+        (acc, _), _ = jax.lax.scan(body, (0.0, y), None, length=CHAIN)
+        return acc
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = jax.block_until_ready(infer(variables, y, cbcr))
-    dt = time.perf_counter() - t0
+    y_d = jax.device_put(y)
+    cbcr_d = jax.device_put(cbcr)
+    float(chained(variables, y_d, cbcr_d))  # compile + warm
 
-    images_per_sec = BATCH * ITERS / dt
+    best = 0.0
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        val = float(chained(variables, y_d, cbcr_d))  # readback = completion
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * CHAIN / dt)
+        assert np.isfinite(val)
+
     result = {
         "metric": "dct_ssd300_inference_throughput",
-        "value": round(images_per_sec, 2),
+        "value": round(best, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / P100_BASELINE_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(best / P100_BASELINE_IMAGES_PER_SEC, 3),
     }
     print(json.dumps(result))
     return result

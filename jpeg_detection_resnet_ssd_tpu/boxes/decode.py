@@ -187,6 +187,7 @@ def decode_detections(
                 border_pixels
             ],
             interpret=interpret,
+            chunk=16 if k % 16 == 0 else 0,
         ).reshape(B, C, k)
     else:
         keep = jax.vmap(

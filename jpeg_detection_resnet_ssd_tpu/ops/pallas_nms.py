@@ -70,7 +70,8 @@ def _nms_kernel(x0_ref, y0_ref, x1_ref, y1_ref, s_ref, keep_ref, area_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iou_threshold", "border_delta", "interpret")
+    jax.jit,
+    static_argnames=("iou_threshold", "border_delta", "interpret", "chunk"),
 )
 def pallas_batched_nms_mask(
     boxes: jax.Array,
@@ -78,6 +79,7 @@ def pallas_batched_nms_mask(
     iou_threshold: float = 0.45,
     border_delta: float = 0.0,
     interpret: bool = False,
+    chunk: int = 0,
 ) -> jax.Array:
     """Greedy-NMS keep mask for stacked problems.
 
@@ -97,9 +99,18 @@ def pallas_batched_nms_mask(
     ]  # 4 x (K, N)
     s = jnp.transpose(scores).astype(jnp.float32)
 
-    kernel = functools.partial(
-        _nms_kernel, iou_threshold=iou_threshold, border_delta=border_delta
-    )
+    if chunk > 0:
+        if K % chunk != 0:
+            raise ValueError(f"K={K} must be a multiple of chunk={chunk}")
+        kernel = functools.partial(
+            _nms_kernel_chunked, iou_threshold=iou_threshold,
+            border_delta=border_delta, chunk=chunk,
+        )
+    else:
+        kernel = functools.partial(
+            _nms_kernel, iou_threshold=iou_threshold,
+            border_delta=border_delta,
+        )
     keep = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((K, N), jnp.float32),
@@ -109,3 +120,81 @@ def pallas_batched_nms_mask(
         interpret=interpret,
     )(*planes, s)
     return jnp.transpose(keep > 0.5) & (scores > 0.0)
+
+
+def _nms_kernel_chunked(x0_ref, y0_ref, x1_ref, y1_ref, s_ref, keep_ref,
+                        area_ref, *, iou_threshold: float,
+                        border_delta: float, chunk: int):
+    """Chunked suppression: one dynamic slice per plane per CHUNK (not per
+    candidate) and one keep-plane RMW per chunk.  Candidate rows inside a
+    chunk are addressed with static indices on a loaded (chunk, N) value,
+    which Mosaic vectorizes cleanly."""
+    from jax.experimental import pallas as pl
+
+    K = x0_ref.shape[0]
+    d = border_delta
+    area_ref[...] = (x1_ref[...] - x0_ref[...] + d) * (
+        y1_ref[...] - y0_ref[...] + d
+    )
+    keep_ref[...] = jnp.ones_like(keep_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, keep_ref.shape, 0)
+    n_chunks = K // chunk
+
+    chunk_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, x0_ref.shape[1]), 0
+    )
+
+    def body(c, _):
+        base = c * chunk
+        cx0 = x0_ref[pl.ds(base, chunk), :]  # (chunk, N)
+        cy0 = y0_ref[pl.ds(base, chunk), :]
+        cx1 = x1_ref[pl.ds(base, chunk), :]
+        cy1 = y1_ref[pl.ds(base, chunk), :]
+        carea = area_ref[pl.ds(base, chunk), :]
+        calive = keep_ref[pl.ds(base, chunk), :] * (
+            s_ref[pl.ds(base, chunk), :] > 0.0
+        ).astype(jnp.float32)
+
+        acc = jnp.zeros_like(keep_ref)  # global suppression this chunk
+        local = jnp.zeros_like(calive)  # within-chunk suppression
+        for i in range(chunk):  # static unroll: no dynamic slicing inside
+            x0i, y0i = cx0[i : i + 1, :], cy0[i : i + 1, :]
+            x1i, y1i = cx1[i : i + 1, :], cy1[i : i + 1, :]
+            ai = carea[i : i + 1, :]
+            alive_i = calive[i : i + 1, :] * (
+                1.0 - jnp.minimum(local[i : i + 1, :], 1.0)
+            )
+            # full-plane suppression by candidate base+i
+            iw = jnp.maximum(
+                0.0,
+                jnp.minimum(x1_ref[...], x1i) - jnp.maximum(x0_ref[...], x0i)
+                + d,
+            )
+            ih = jnp.maximum(
+                0.0,
+                jnp.minimum(y1_ref[...], y1i) - jnp.maximum(y0_ref[...], y0i)
+                + d,
+            )
+            inter = iw * ih
+            iou = inter / jnp.maximum(area_ref[...] + ai - inter, 1e-12)
+            hits = (iou > iou_threshold).astype(jnp.float32) * (
+                row_ids > base + i
+            ).astype(jnp.float32)
+            acc = acc + hits * alive_i
+            # within-chunk suppression of later rows by candidate i
+            liw = jnp.maximum(
+                0.0, jnp.minimum(cx1, x1i) - jnp.maximum(cx0, x0i) + d
+            )
+            lih = jnp.maximum(
+                0.0, jnp.minimum(cy1, y1i) - jnp.maximum(cy0, y0i) + d
+            )
+            linter = liw * lih
+            liou = linter / jnp.maximum(carea + ai - linter, 1e-12)
+            lhits = (liou > iou_threshold).astype(jnp.float32) * (
+                chunk_rows > i
+            ).astype(jnp.float32)
+            local = local + lhits * alive_i
+        keep_ref[...] = keep_ref[...] * (1.0 - jnp.minimum(acc, 1.0))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
