@@ -170,12 +170,31 @@ def cmd_train_detect(args):
     )
     run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}")
-    trainer, module, example_inputs = build_trainer(config)
+    trainer, module, example_inputs = build_trainer(
+        config, target_encoder=encoder.encode_fn
+    )
+    val_fn = None
+    if args.val_image_set:
+        from jpeg_detection_resnet_ssd_tpu.train.loop import make_validation_fn
+
+        val_root = args.voc_root[0]
+        val_ds = DetectionDataset.from_voc(
+            os.path.join(val_root, "JPEGImages"),
+            os.path.join(val_root, "ImageSets", "Main", args.val_image_set),
+            os.path.join(val_root, "Annotations"),
+        )
+        val_pipe = DetectionPipeline(
+            val_ds, config.batch_size, train=False, encoder=encoder,
+            augmentation=None, input_format=config.input_format,
+            num_workers=config.num_workers, device_encode=True,
+            drop_remainder=True,
+        )
+        val_fn = make_validation_fn(trainer, val_pipe)
     init_vars = _maybe_import_pretrained(config, trainer, example_inputs)
     state, history = fit(
-        config, pipe, run_dir=run_dir, max_steps=args.max_steps,
-        init_variables=init_vars, mesh=trainer.mesh,
-        target_encoder=encoder.encode_fn,
+        config, pipe, val_fn=val_fn, run_dir=run_dir,
+        max_steps=args.max_steps, init_variables=init_vars,
+        mesh=trainer.mesh, target_encoder=encoder.encode_fn,
     )
     print(json.dumps(history[-1] if history else {}))
 
@@ -433,6 +452,9 @@ def build_parser():
     td.add_argument("--no_reg", dest="reg", action="store_false")
     td.add_argument("--vgg", action="store_true",
                     help="VGG-DCT backbone instead of ResNet")
+    td.add_argument("--val-image-set", default=None,
+                    help="ImageSets/Main/<file> for per-epoch validation "
+                         "loss (e.g. val.txt)")
     td.set_defaults(fn=cmd_train_detect)
 
     ev = sub.add_parser("evaluate")

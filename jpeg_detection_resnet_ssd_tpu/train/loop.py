@@ -40,18 +40,26 @@ class NaNLossError(RuntimeError):
     """TerminateOnNaN (`config/resnet/config_file.py:76`)."""
 
 
-def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
+def _schedule_value(config: ExperimentConfig, step: int) -> float:
+    schedule = _make_schedule(config, 1)
+    return float(schedule(step)) if callable(schedule) else float(schedule)
+
+
+def _make_schedule(config: ExperimentConfig, n_replicas: int):
     if config.warmup_epochs > 0 and n_replicas > 1:
-        schedule = warmup_linear_scaling(
+        return warmup_linear_scaling(
             config.learning_rate,
             n_replicas,
             config.steps_per_epoch,
             config.warmup_epochs,
         )
-    elif config.lr_decay > 0:
-        schedule = keras_inverse_time_decay(config.learning_rate, config.lr_decay)
-    else:
-        schedule = config.learning_rate
+    if config.lr_decay > 0:
+        return keras_inverse_time_decay(config.learning_rate, config.lr_decay)
+    return config.learning_rate
+
+
+def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
+    schedule = _make_schedule(config, n_replicas)
     return optax.sgd(schedule, momentum=config.momentum,
                      nesterov=config.nesterov)
 
@@ -162,7 +170,12 @@ def fit(
                 "epoch": epoch,
                 "step": int(state.step),
                 "time_s": round(time.time() - t0, 2),
+                # lr column (the reference CSVLogger's restart source,
+                # `training.py:94-101`; informational here — orbax restores
+                # the optimizer state exactly)
+                "lr": float(_schedule_value(config, int(state.step))),
             }
+
             for k, v in epoch_metrics.items():
                 row[k] = float(np.mean([float(x) for x in v]))
             if math.isnan(row.get("total_loss", 0.0)):
@@ -179,3 +192,65 @@ def fit(
                 break
         writer.close()
         return state, history
+
+
+def make_validation_fn(trainer, val_pipeline, loss_only: bool = True):
+    """Per-epoch validation hook for `fit(val_fn=...)`.
+
+    Role of the reference's `fit_generator(validation_data=...)` epoch-end
+    pass (`training_dct_pascal_j2d_resnet.py:330-336`): runs the model in eval
+    mode over `val_pipeline` and returns mean metrics ({'loss': ...} for
+    detection batches with 'targets'; classification metrics for batches with
+    'labels').
+    """
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.losses import SSDLoss
+
+    eval_apply = trainer.eval_step()
+    ssd_loss = SSDLoss()
+
+    @jax.jit
+    def det_loss(state, inputs, targets):
+        preds = eval_apply(state, inputs)
+        return ssd_loss(targets, preds)
+
+    @jax.jit
+    def cls_metrics(state, inputs, labels):
+        logits = eval_apply(state, inputs)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        from jpeg_detection_resnet_ssd_tpu.losses import (
+            softmax_cross_entropy,
+            top_k_accuracy,
+        )
+
+        return (
+            softmax_cross_entropy(logits, onehot),
+            top_k_accuracy(logits, labels, 1),
+            top_k_accuracy(logits, labels, 5),
+        )
+
+    def val_fn(state):
+        rows = []
+        for batch in val_pipeline:
+            if "targets" in batch:
+                rows.append(
+                    {"loss": float(det_loss(state, batch["inputs"],
+                                            batch["targets"]))}
+                )
+            elif "gt" in batch and trainer.target_encoder is not None:
+                targets = trainer.target_encoder(batch["gt"], batch["gt_mask"])
+                rows.append(
+                    {"loss": float(det_loss(state, batch["inputs"], targets))}
+                )
+            else:
+                loss, t1, t5 = cls_metrics(state, batch["inputs"],
+                                           jnp.asarray(batch["labels"]))
+                rows.append({"loss": float(loss), "top1": float(t1),
+                             "top5": float(t5)})
+        if not rows:
+            return {}
+        keys = rows[0].keys()
+        return {k: float(np.mean([r[k] for r in rows])) for k in keys}
+
+    return val_fn

@@ -178,3 +178,36 @@ def test_bf16_compute_dtype_plumbs(tmp_path):
     config.compute_dtype = "bfloat16"
     trainer, module, example = build_trainer(config)
     assert module.dtype == jnp.bfloat16
+
+
+def test_validation_fn_and_lr_logging(cls_root, tmp_path):
+    from jpeg_detection_resnet_ssd_tpu.train.loop import (
+        build_trainer,
+        make_validation_fn,
+    )
+
+    config = make_config(tmp_path)
+    config.lr_decay = 1e-2
+    ds = ImageFolderDataset(cls_root)
+
+    def train_stream():
+        while True:
+            p = ClassificationPipeline(
+                ds, config.batch_size, train=True, input_format="rgb",
+                image_size=32, num_workers=2,
+            )
+            yield from p
+
+    val_pipe = ClassificationPipeline(
+        ds, config.batch_size, train=False, input_format="rgb",
+        image_size=32, num_workers=2, drop_remainder=True,
+    )
+    trainer, module, example = build_trainer(config)
+    val_fn = make_validation_fn(trainer, val_pipe)
+    run_dir = create_run_dir(config)
+    state, history = fit(config, train_stream(), val_fn=val_fn,
+                         run_dir=run_dir, mesh=trainer.mesh)
+    assert "val_loss" in history[-1] and np.isfinite(history[-1]["val_loss"])
+    assert "val_top1" in history[-1]
+    # lr column present and decayed from the base lr
+    assert 0 < history[-1]["lr"] < config.learning_rate
