@@ -108,3 +108,30 @@ def dct_detection_crop_flip(
     flip = jax.random.bernoulli(k3, 0.5, (B,))
     fn = functools.partial(_crop_flip_one, out_y_blocks=out_y_blocks)
     return jax.vmap(fn)(y, cbcr, gt, gt_mask, y0c, x0c, flip)
+
+
+def make_dct_detection_augment(out_y_blocks: int = 38):
+    """Build a Trainer `augment_fn`: batches carrying oversized coefficient
+    maps + source-frame GT get cropped/flipped (with GT rewrite) on device,
+    then flow into the in-step target encoder.
+
+    Usage:
+        enc = TargetEncoder(spec=AnchorSpec(img_height=304, img_width=304), ..)
+        trainer = Trainer(..., target_encoder=enc.encode_fn,
+                          augment_fn=make_dct_detection_augment(38))
+        # pipeline: DetectionPipeline(img_height=352, img_width=352,
+        #           device_encode=True, augmentation=None)  # 44-block source
+    """
+
+    def augment(batch, rng):
+        y, cbcr = batch["inputs"]
+        y2, c2, gt2, m2 = dct_detection_crop_flip(
+            y, cbcr, batch["gt"], batch["gt_mask"], rng,
+            out_y_blocks=out_y_blocks,
+        )
+        out = dict(batch)
+        out["inputs"] = (y2, c2)
+        out["gt"], out["gt_mask"] = gt2, m2
+        return out
+
+    return augment

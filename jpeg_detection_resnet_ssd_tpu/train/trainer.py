@@ -106,6 +106,10 @@ class Trainer:
     # (40 KB of GT vs ~37 MB of encoded targets at batch 32) — decisive when
     # transfer bandwidth is limited, and the encode itself is sub-ms on TPU.
     target_encoder: Callable | None = None
+    # Optional in-step augmentation (batch, rng) -> batch, applied BEFORE the
+    # target encoder — e.g. `ops.dct_detect_augment` DCT-domain crop/flip with
+    # GT rewrite, making augment + encode + train one compiled program.
+    augment_fn: Callable | None = None
 
     def init_state(self, rng, example_inputs) -> TrainState:
         variables = self.model.init(rng, example_inputs, train=False)
@@ -140,6 +144,10 @@ class Trainer:
         return jax.tree_util.tree_map(lambda _: bs, batch)
 
     def _step(self, state: TrainState, batch, dropout_rng):
+        if self.augment_fn is not None:
+            batch = self.augment_fn(
+                batch, jax.random.fold_in(dropout_rng, state.step)
+            )
         if self.target_encoder is not None and "targets" not in batch:
             batch = dict(batch)
             batch["targets"] = self.target_encoder(

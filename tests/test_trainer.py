@@ -202,3 +202,65 @@ def test_in_step_target_encoding(rng):
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_in_step_dct_augment_and_encode(rng):
+    """augment_fn (DCT crop/flip + GT rewrite) -> target_encoder -> train step,
+    all inside one compiled program."""
+    import numpy as np
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+    from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
+        make_dct_detection_augment,
+    )
+
+    enc = TargetEncoder(
+        spec=AnchorSpec(img_height=304, img_width=304,
+                        scales=(0.2, 0.4, 0.6), steps=None,
+                        aspect_ratios=((1.0, 2.0), (1.0,))),
+        predictor_sizes=((4, 4), (2, 2)),
+        n_classes=5,
+    )
+    n_boxes = enc.n_boxes
+
+    class TinyDet(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, train=False):
+            y, cbcr = inputs
+            x = nn.relu(nn.Conv(8, (3, 3), name="c")(y))
+            x = jnp.mean(x, axis=(1, 2))
+            out = nn.Dense(n_boxes * 10, name="h")(x).reshape(
+                x.shape[0], n_boxes, 10
+            )
+            conf = jax.nn.softmax(out[..., :6])
+            anchors = jnp.broadcast_to(
+                jnp.asarray(enc.anchors)[None], (x.shape[0], n_boxes, 8)
+            )
+            return jnp.concatenate([conf, out[..., 6:], anchors], -1)
+
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    trainer = Trainer(
+        model=TinyDet(), loss_fn=detection_loss_fn(l2_scale=0.0),
+        optimizer=optax.sgd(1e-2), mesh=mesh, donate=False,
+        target_encoder=enc.encode_fn,
+        augment_fn=make_dct_detection_augment(38),
+    )
+    B = 2
+    y = rng.normal(0, 50, (B, 44, 44, 64)).astype(np.float32)
+    cbcr = rng.normal(0, 20, (B, 22, 22, 128)).astype(np.float32)
+    gt = np.zeros((B, 4, 5), np.float32)
+    gt[:, 0] = [2, 120, 120, 260, 230]
+    mask = np.zeros((B, 4), bool)
+    mask[:, 0] = True
+    with mesh:
+        state = trainer.init_state(
+            jax.random.PRNGKey(0),
+            (np.zeros((1, 38, 38, 64), np.float32),
+             np.zeros((1, 19, 19, 128), np.float32)),
+        )
+        batch = {"inputs": (y, cbcr), "gt": gt, "gt_mask": mask}
+        state, m1 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+        state, m2 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["total_loss"]))
+    # step counter feeds the augment rng: consecutive steps see different
+    # crops, so the losses differ
+    assert float(m1["total_loss"]) != float(m2["total_loss"])
