@@ -397,14 +397,16 @@ def cmd_infer(args):
 
 
 def cmd_bench(args):
-    """Throughput + param-count harness (role of `inference_time.py`)."""
+    """Throughput + param-count harness (role of `inference_time.py`).
+
+    Uses the chained-execution + host-readback protocol (see BENCHMARK.md
+    "measurement integrity") so numbers are honest on relay-tunneled TPUs.
+    """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from jpeg_detection_resnet_ssd_tpu.eval.imagenet_eval import (
-        count_params,
-        timed_runs,
-    )
+    from jpeg_detection_resnet_ssd_tpu.eval.imagenet_eval import count_params
     from jpeg_detection_resnet_ssd_tpu.models import build_model
 
     kwargs = {}
@@ -421,14 +423,38 @@ def cmd_bench(args):
 
     inputs = jax.tree_util.tree_map(_batchify, inputs)
     variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
-    fn = jax.jit(lambda v, i: module.apply(v, i, train=False))
-    stats = timed_runs(fn, (variables, inputs), n_runs=args.runs)
+    leaves = jax.tree_util.tree_leaves(inputs)
+    chain_n = args.runs
+
+    @jax.jit
+    def chained(v, *ins):
+        first = ins[0]
+
+        def body(carry, _):
+            acc, x0 = carry
+            cur = (x0,) + tuple(ins[1:])
+            cur = cur if len(leaves) > 1 else (x0,)
+            out = module.apply(v, cur if len(leaves) > 1 else cur[0],
+                               train=False)
+            ds = jnp.sum(out).astype(jnp.float32) * 1e-12
+            return (acc + ds, first + ds * 1e-9), None
+
+        (acc, _), _ = jax.lax.scan(body, (0.0, first), None, length=chain_n)
+        return acc
+
+    import time as _time
+
+    float(chained(variables, *leaves))  # compile
+    best = 0.0
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(chained(variables, *leaves))
+        best = max(best, args.batch_size * chain_n / (_time.perf_counter() - t0))
     result = {
         "model": args.model,
         "params": count_params(variables["params"]),
         "batch_size": args.batch_size,
-        "mean_s": stats["mean_s"],
-        "images_per_sec": args.batch_size / stats["mean_s"],
+        "images_per_sec": round(best, 1),
     }
     print(json.dumps(result))
 

@@ -357,3 +357,35 @@ def test_rotate_angle_boxes():
     # 45-degree loose fit: sqrt(2) * 20 wide box, still centered
     w = lab[0, 3] - lab[0, 1]
     np.testing.assert_allclose(w, 20 * np.sqrt(2), atol=1.5)
+
+
+def test_coco_parser(tmp_path):
+    import json as _json
+
+    from jpeg_detection_resnet_ssd_tpu.data import parse_coco_json
+
+    coco = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "width": 100, "height": 80},
+            {"id": 9, "file_name": "b.jpg", "width": 100, "height": 80},
+        ],
+        "categories": [{"id": 18, "name": "dog"}, {"id": 3, "name": "car"}],
+        "annotations": [
+            {"image_id": 7, "category_id": 18, "bbox": [10, 20, 30, 40],
+             "iscrowd": 0},
+            {"image_id": 7, "category_id": 3, "bbox": [5, 5, 10, 10],
+             "iscrowd": 1},  # crowd: skipped by default
+            {"image_id": 9, "category_id": 3, "bbox": [0, 0, 50, 60],
+             "iscrowd": 0},
+        ],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(_json.dumps(coco))
+    records, cat_map = parse_coco_json(str(p), str(tmp_path))
+    assert cat_map == {3: 1, 18: 2}  # ascending original ids -> contiguous
+    by_id = {r["image_id"]: r for r in records}
+    assert by_id[7]["boxes"].shape == (1, 5)  # crowd excluded
+    np.testing.assert_allclose(by_id[7]["boxes"][0], [2, 10, 20, 40, 60])
+    np.testing.assert_allclose(by_id[9]["boxes"][0], [1, 0, 0, 50, 60])
+    records2, _ = parse_coco_json(str(p), str(tmp_path), include_crowd=True)
+    assert {r["image_id"]: r for r in records2}[7]["boxes"].shape == (2, 5)
