@@ -163,7 +163,7 @@ class DetectionPipeline(_BasePipeline):
     """
 
     def __init__(self, dataset, batch_size: int, *, train: bool,
-                 encoder=None, augmentation: Callable | None = None,
+                 encoder=None, augmentation: Callable | str | None = "default",
                  input_format: str = "dct", img_height: int = 300,
                  img_width: int = 300, max_gt: int = 64,
                  device_encode: bool = False, **kw):
@@ -176,8 +176,14 @@ class DetectionPipeline(_BasePipeline):
         self.device_encode = device_encode
         self.img_height, self.img_width = img_height, img_width
         self.max_gt = max_gt
-        if augmentation is None and train:
-            augmentation = aug.SSDDataAugmentation(img_height, img_width)
+        # augmentation: "default" -> the Caffe-SSD chain when training;
+        # None -> resize only (EXPLICIT no-augmentation, e.g. for debugging /
+        # evaluation); any callable -> used as-is.
+        if augmentation == "default":
+            augmentation = (
+                aug.SSDDataAugmentation(img_height, img_width) if train
+                else None
+            )
         self.augmentation = augmentation
 
     def _prepare_item(self, index):
