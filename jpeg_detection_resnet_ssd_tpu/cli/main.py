@@ -160,18 +160,40 @@ def cmd_train_detect(args):
         predictor_sizes=ssd_predictor_sizes(family),
         n_classes=20,
     )
-    augmentation = SSDDataAugmentation(crop=args.crop)
-    # device_encode: ship raw padded GT; target encoding fuses into the
-    # compiled train step (minimal host->device transfer).
-    pipe = DetectionPipeline(
-        ds, config.batch_size, train=True, encoder=encoder,
-        augmentation=augmentation, input_format=config.input_format,
-        num_workers=config.num_workers, seed=config.seed, device_encode=True,
-    )
+    augment_fn = None
+    if args.device_augment:
+        # North-star path: host resizes to a 352px (44-block) source frame;
+        # random crop/flip + GT rewrite + target encode all run INSIDE the
+        # compiled train step in DCT space (ops/dct_detect_augment.py).
+        from jpeg_detection_resnet_ssd_tpu.ops import make_dct_detection_augment
+
+        encoder = TargetEncoder(
+            spec=AnchorSpec(img_height=304, img_width=304),
+            predictor_sizes=ssd_predictor_sizes(family),
+            n_classes=20,
+        )
+        augment_fn = make_dct_detection_augment(38)
+        pipe = DetectionPipeline(
+            ds, config.batch_size, train=True, encoder=encoder,
+            augmentation=None, img_height=352, img_width=352,
+            input_format=config.input_format,
+            num_workers=config.num_workers, seed=config.seed,
+            device_encode=True,
+        )
+    else:
+        augmentation = SSDDataAugmentation(crop=args.crop)
+        # device_encode: ship raw padded GT; target encoding fuses into the
+        # compiled train step (minimal host->device transfer).
+        pipe = DetectionPipeline(
+            ds, config.batch_size, train=True, encoder=encoder,
+            augmentation=augmentation, input_format=config.input_format,
+            num_workers=config.num_workers, seed=config.seed,
+            device_encode=True,
+        )
     run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}")
     trainer, module, example_inputs = build_trainer(
-        config, target_encoder=encoder.encode_fn
+        config, target_encoder=encoder.encode_fn, augment_fn=augment_fn
     )
     val_fn = None
     if args.val_image_set:
@@ -195,6 +217,7 @@ def cmd_train_detect(args):
         config, pipe, val_fn=val_fn, run_dir=run_dir,
         max_steps=args.max_steps, init_variables=init_vars,
         mesh=trainer.mesh, target_encoder=encoder.encode_fn,
+        augment_fn=augment_fn,
     )
     print(json.dumps(history[-1] if history else {}))
 
@@ -478,6 +501,9 @@ def build_parser():
     td.add_argument("--no_reg", dest="reg", action="store_false")
     td.add_argument("--vgg", action="store_true",
                     help="VGG-DCT backbone instead of ResNet")
+    td.add_argument("--device-augment", action="store_true",
+                    help="DCT-domain crop/flip + encode inside the compiled "
+                         "train step (recompression-free fast path)")
     td.add_argument("--val-image-set", default=None,
                     help="ImageSets/Main/<file> for per-epoch validation "
                          "loss (e.g. val.txt)")

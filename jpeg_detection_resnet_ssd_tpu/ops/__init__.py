@@ -11,3 +11,8 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     dct_brightness_contrast,
     dct_random_photometric,
 )
+from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
+    dct_detection_crop_flip,
+    make_dct_detection_augment,
+)
+from jpeg_detection_resnet_ssd_tpu.ops.pallas_nms import pallas_batched_nms_mask

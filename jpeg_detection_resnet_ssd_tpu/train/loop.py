@@ -64,7 +64,8 @@ def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
                      nesterov=config.nesterov)
 
 
-def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None):
+def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None,
+                  augment_fn=None):
     import jax.numpy as jnp
 
     mesh = mesh or make_mesh(n_model=config.n_model_shards)
@@ -88,6 +89,7 @@ def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None):
         mesh=mesh,
         tp_rule=tensor_parallel_rule if config.n_model_shards > 1 else None,
         target_encoder=target_encoder,
+        augment_fn=augment_fn,
     )
     return trainer, module, example_inputs
 
@@ -102,9 +104,12 @@ def fit(
     init_variables=None,
     log_every: int = 50,
     target_encoder=None,
+    augment_fn=None,
 ) -> tuple[Any, list[dict]]:
     """Train per `config`; returns (final TrainState, history of epoch rows)."""
-    trainer, module, example_inputs = build_trainer(config, mesh, target_encoder)
+    trainer, module, example_inputs = build_trainer(
+        config, mesh, target_encoder, augment_fn
+    )
     mesh = trainer.mesh
     n_data = mesh.shape.get("data", 1)
     if config.batch_size % n_data != 0:
