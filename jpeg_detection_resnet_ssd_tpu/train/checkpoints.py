@@ -14,7 +14,6 @@ import csv
 import os
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 
@@ -32,13 +31,16 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None):
-        if jax.process_index() == 0 or jax.process_count() == 1:
-            self._mgr.save(
-                step,
-                args=ocp.args.StandardSave(state),
-                metrics=metrics,
-            )
-            self._mgr.wait_until_finished()
+        # Must run on EVERY process: orbax StandardSave of multi-host sharded
+        # arrays needs all hosts to contribute their addressable shards
+        # (orbax coordinates primary-host IO internally).  Process-0 gating
+        # applies only to purely local side effects like CSV logging.
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics=metrics,
+        )
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

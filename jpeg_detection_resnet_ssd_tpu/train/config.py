@@ -50,7 +50,10 @@ class ExperimentConfig:
 
     # parallelism / precision
     n_model_shards: int = 1
-    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (params stay f32)
+    # bfloat16 compute is the TPU default (params stay f32): +41% training
+    # throughput with convergence equivalent to f32 (BENCHMARK.md); set
+    # 'float32' to reproduce the reference's numerics exactly.
+    compute_dtype: str = "bfloat16"  # 'float32' | 'bfloat16'
     remat: bool = False  # rematerialize ResNet bottleneck branches (memory)
 
     # observability

@@ -40,8 +40,13 @@ class NaNLossError(RuntimeError):
     """TerminateOnNaN (`config/resnet/config_file.py:76`)."""
 
 
-def _schedule_value(config: ExperimentConfig, step: int) -> float:
-    schedule = _make_schedule(config, 1)
+def _schedule_value(
+    config: ExperimentConfig, step: int, n_replicas: int = 1
+) -> float:
+    """Value of the ACTUAL training schedule at `step` — must be built with
+    the same n_replicas as `build_optimizer`, else the logged lr column skips
+    the warmup_linear_scaling branch and lies for multi-replica runs."""
+    schedule = _make_schedule(config, n_replicas)
     return float(schedule(step)) if callable(schedule) else float(schedule)
 
 
@@ -178,7 +183,9 @@ def fit(
                 # lr column (the reference CSVLogger's restart source,
                 # `training.py:94-101`; informational here — orbax restores
                 # the optimizer state exactly)
-                "lr": float(_schedule_value(config, int(state.step))),
+                "lr": float(
+                    _schedule_value(config, int(state.step), n_data)
+                ),
             }
 
             for k, v in epoch_metrics.items():

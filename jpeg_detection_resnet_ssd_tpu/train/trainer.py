@@ -124,19 +124,21 @@ class Trainer:
         return jax.device_put(state, self.state_shardings(state))
 
     def state_shardings(self, state: TrainState):
-        p_shard = param_shardings(self.mesh, state.params, self.tp_rule)
-        rep = replicate_sharding(self.mesh)
-
-        def like_params(tree):
-            # optimizer state & batch stats follow the param sharding where the
-            # leaf shape matches a param, else replicate.
-            return jax.tree_util.tree_map(lambda _: rep, tree)
-
+        # Optimizer state and batch stats are sharded by the SAME path-based
+        # rule as the params: optax momentum/trace subtrees mirror the param
+        # tree (paths end in 'kernel'/'bias'), so a TP-sharded kernel's
+        # momentum lands sharded next to it instead of replicated — no extra
+        # memory, no per-step resharding.  Leaves the rule doesn't claim
+        # (BN stats, schedule counts, EmptyState) replicate as before.
         return TrainState(
-            step=rep,
-            params=p_shard,
-            batch_stats=like_params(state.batch_stats),
-            opt_state=like_params(state.opt_state),
+            step=replicate_sharding(self.mesh),
+            params=param_shardings(self.mesh, state.params, self.tp_rule),
+            batch_stats=param_shardings(
+                self.mesh, state.batch_stats, self.tp_rule
+            ),
+            opt_state=param_shardings(
+                self.mesh, state.opt_state, self.tp_rule
+            ),
         )
 
     def batch_shardings(self, batch):
@@ -144,10 +146,13 @@ class Trainer:
         return jax.tree_util.tree_map(lambda _: bs, batch)
 
     def _step(self, state: TrainState, batch, dropout_rng):
+        # Independent per-step streams for augmentation vs dropout: folding
+        # the same key into both would correlate augmentation randomness with
+        # dropout noise every step.
+        step_rng = jax.random.fold_in(dropout_rng, state.step)
+        aug_rng, drop_rng = jax.random.split(step_rng)
         if self.augment_fn is not None:
-            batch = self.augment_fn(
-                batch, jax.random.fold_in(dropout_rng, state.step)
-            )
+            batch = self.augment_fn(batch, aug_rng)
         if self.target_encoder is not None and "targets" not in batch:
             batch = dict(batch)
             batch["targets"] = self.target_encoder(
@@ -161,7 +166,7 @@ class Trainer:
                 batch["inputs"],
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(dropout_rng, state.step)},
+                rngs={"dropout": drop_rng},
             )
             loss, metrics = self.loss_fn(params, outputs, batch)
             return loss, (metrics, mutated["batch_stats"])

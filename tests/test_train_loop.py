@@ -26,12 +26,16 @@ from jpeg_detection_resnet_ssd_tpu.train.loop import NaNLossError, fit
 
 class _TinyNet(nn.Module):
     num_classes: int = 3
+    dtype: type = jnp.float32  # accepted so the zoo's dtype plumbing applies
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.relu(nn.Conv(8, (3, 3), name="conv")(jnp.asarray(x)))
+        x = nn.relu(
+            nn.Conv(8, (3, 3), name="conv", dtype=self.dtype)(jnp.asarray(x))
+        )
         x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.num_classes, name="fc")(x)
+        out = nn.Dense(self.num_classes, name="fc", dtype=self.dtype)(x)
+        return out.astype(jnp.float32)
 
 
 def _tiny_factory(**kw):
