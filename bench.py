@@ -39,7 +39,12 @@ def main():
     from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
     from jpeg_detection_resnet_ssd_tpu.models import build_model, make_inference_fn
 
-    module, _ = build_model("ssd300_ssd_custom", n_classes=20)
+    # Production serving path: bfloat16 forward (params f32, compute bf16 —
+    # convergence/accuracy equivalence pinned in tests), decode in f32 with
+    # the Pallas NMS kernel + shared candidate pool (BENCHMARK.md).
+    module, _ = build_model(
+        "ssd300_ssd_custom", n_classes=20, dtype=jnp.bfloat16
+    )
     rng = np.random.default_rng(0)
     y = rng.normal(0, 100, (BATCH, 38, 38, 64)).astype(np.float32)
     cbcr = rng.normal(0, 30, (BATCH, 19, 19, 128)).astype(np.float32)
@@ -50,7 +55,8 @@ def main():
     def chained(variables, y, cbcr):
         def body(carry, _):
             acc, yy = carry
-            out = decode(module.apply(variables, (yy, cbcr), train=False))
+            preds = module.apply(variables, (yy, cbcr), train=False)
+            out = decode(preds.astype(jnp.float32))
             ds = jnp.sum(out[:, :, 1])
             # Perturb the next input by the previous output: a true data
             # dependency, so the device must execute all CHAIN iterations.

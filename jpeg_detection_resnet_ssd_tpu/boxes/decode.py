@@ -143,6 +143,7 @@ def decode_detections(
     border_pixels: str = "half",
     nms_impl: str = "auto",
     candidate_selector: str = "exact",
+    shared_pool_size: int = 1024,
 ) -> jax.Array:
     """Full batched decode: (B, n_boxes, n_cls+1+12) -> (B, top_k, 6).
 
@@ -153,9 +154,22 @@ def decode_detections(
 
     `nms_impl`: 'auto' (the Pallas kernel on TPU — measured 3.2x faster than
     the XLA loop with exact parity — XLA elsewhere), 'xla', or 'pallas'.
-    `candidate_selector`: 'exact' (lax.top_k) or 'approx'
-    (`lax.approx_max_k`, TPU-optimized, ~95% recall of the top 400 — the
-    missed tail is low-confidence; measurably faster, negligible mAP impact).
+
+    `candidate_selector`:
+      * 'exact' (default): the reference's literal semantics, full per-class
+        top-k.
+      * 'shared': one global top-`shared_pool_size` over each box's
+        best positive-class score compacts the candidate set BEFORE the
+        per-class top-k — the dominant (B, C, n_boxes) sort (~6.5 ms/batch at
+        B=32, C=20, n=8732; BENCHMARK.md "Decode stage profile") collapses to
+        one (B, n_boxes) sort plus a (B, C, M) sort, M=1024.  Exact whenever
+        fewer than M boxes clear the confidence threshold for any class
+        (softmax scores: a box's best class bounds its every class); in the
+        adversarial worst case the dropped tail is the lowest-confidence
+        sliver of the candidate pool, which NMS + final top-k would discard
+        with near-certainty.  Parity pinned by tests on realistic heads.
+      * 'approx': `lax.approx_max_k` (TPU-optimized, ~95% recall of the
+        top 400 — the missed tail is low-confidence).
     """
     scores, boxes = decode_raw_predictions(
         y_pred,
@@ -169,16 +183,38 @@ def decode_detections(
     k = min(nms_max_output_size, n_boxes)
 
     # per-(image, class) candidate selection: confidence threshold + top-k
-    pos = jnp.moveaxis(scores[..., 1 : C + 1], -1, 1)  # (B, C, n_boxes)
-    masked = jnp.where(pos > confidence_thresh, pos, 0.0)
-    if candidate_selector == "approx":
-        top_scores, top_idx = jax.lax.approx_max_k(masked, k)
-        top_idx = top_idx.astype(jnp.int32)
-    else:
+    if candidate_selector == "shared":
+        M = min(shared_pool_size, n_boxes)
+        pos_scores = scores[..., 1 : C + 1]  # (B, n_boxes, C)
+        box_best = jnp.max(
+            jnp.where(pos_scores > confidence_thresh, pos_scores, 0.0),
+            axis=-1,
+        )  # (B, n_boxes)
+        _, pool_idx = jax.lax.top_k(box_best, M)  # (B, M)
+        pool_scores = jnp.take_along_axis(
+            pos_scores, pool_idx[..., None], axis=1
+        )  # (B, M, C)
+        pool_boxes = jnp.take_along_axis(
+            boxes, pool_idx[..., None], axis=1
+        )  # (B, M, 4)
+        pos = jnp.moveaxis(pool_scores, -1, 1)  # (B, C, M)
+        masked = jnp.where(pos > confidence_thresh, pos, 0.0)
+        k = min(k, M)
         top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, k)
-    top_boxes = jnp.take_along_axis(
-        boxes[:, None, :, :], top_idx[..., None], axis=2
-    )  # (B, C, k, 4)
+        top_boxes = jnp.take_along_axis(
+            pool_boxes[:, None, :, :], top_idx[..., None], axis=2
+        )  # (B, C, k, 4)
+    else:
+        pos = jnp.moveaxis(scores[..., 1 : C + 1], -1, 1)  # (B, C, n_boxes)
+        masked = jnp.where(pos > confidence_thresh, pos, 0.0)
+        if candidate_selector == "approx":
+            top_scores, top_idx = jax.lax.approx_max_k(masked, k)
+            top_idx = top_idx.astype(jnp.int32)
+        else:
+            top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, k)
+        top_boxes = jnp.take_along_axis(
+            boxes[:, None, :, :], top_idx[..., None], axis=2
+        )  # (B, C, k, 4)
 
     if nms_impl == "auto":
         nms_impl = (
@@ -226,6 +262,78 @@ def decode_detections(
             best[..., None],
             jnp.where(
                 best[..., None] > 0,
+                jnp.take_along_axis(flat_boxes, idx[..., None], 1),
+                0.0,
+            ),
+        ],
+        axis=-1,
+    )
+    return rows
+
+
+def decode_detections_debug(
+    y_pred: jax.Array,
+    *,
+    n_classes: int,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    top_k: int = 200,
+    nms_max_output_size: int = 400,
+    normalize_coords: bool = True,
+    img_height: int = 300,
+    img_width: int = 300,
+    border_pixels: str = "half",
+) -> jax.Array:
+    """Anchor-index-preserving decode for debugging
+    (`ssd_output_decoder.py:342-470`): identical processing to
+    `decode_detections` but each output row is
+    `[box_id, class_id, confidence, xmin, ymin, xmax, ymax]` — `box_id` is the
+    box's flat index within the model's prediction tensor, which identifies
+    the predictor layer that produced it.  Shape-static: (B, top_k, 7),
+    zero-padded (a padding row has confidence 0)."""
+    scores, boxes = decode_raw_predictions(
+        y_pred,
+        normalize_coords=normalize_coords,
+        img_height=img_height,
+        img_width=img_width,
+    )
+    B, n_boxes = boxes.shape[0], boxes.shape[1]
+    C = n_classes
+    k = min(nms_max_output_size, n_boxes)
+
+    pos = jnp.moveaxis(scores[..., 1 : C + 1], -1, 1)  # (B, C, n_boxes)
+    masked = jnp.where(pos > confidence_thresh, pos, 0.0)
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, k)
+    top_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], top_idx[..., None], axis=2
+    )  # (B, C, k, 4)
+    keep = jax.vmap(
+        jax.vmap(
+            lambda b, s: _greedy_nms_mask(b, s, iou_threshold, border_pixels)
+        )
+    )(top_boxes, top_scores)
+    kept_scores = jnp.where(keep, top_scores, 0.0)  # (B, C, k)
+
+    class_ids = jnp.broadcast_to(
+        jnp.arange(1, C + 1, dtype=jnp.float32)[None, :, None], (B, C, k)
+    )
+    flat_scores = kept_scores.reshape(B, -1)
+    flat_boxes = top_boxes.reshape(B, -1, 4)
+    flat_cls = class_ids.reshape(B, -1)
+    flat_box_id = top_idx.reshape(B, -1).astype(jnp.float32)
+    best, idx = jax.lax.top_k(flat_scores, top_k)  # (B, top_k)
+    alive = best > 0
+    rows = jnp.concatenate(
+        [
+            jnp.where(alive, jnp.take_along_axis(flat_box_id, idx, 1), 0.0)[
+                ..., None
+            ],
+            jnp.where(alive, jnp.take_along_axis(flat_cls, idx, 1), 0.0)[
+                ..., None
+            ],
+            best[..., None],
+            jnp.where(
+                alive[..., None],
                 jnp.take_along_axis(flat_boxes, idx[..., None], 1),
                 0.0,
             ),

@@ -254,7 +254,11 @@ def cmd_evaluate(args):
         ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
         state = ckpt.restore(state)
 
-        decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+        # mAP protocol: literal reference semantics (full per-class top-k),
+        # not the faster shared candidate pool used for serving.
+        decode = make_inference_fn(
+            n_classes=20, spec=AnchorSpec(), candidate_selector="exact"
+        )
 
         @jax.jit
         def infer(inputs):

@@ -411,13 +411,20 @@ def make_inference_fn(
     iou_threshold: float = 0.45,
     top_k: int = 200,
     nms_max_output_size: int = 400,
-    nms_impl: str = "xla",
+    nms_impl: str = "auto",
+    candidate_selector: str = "shared",
 ):
     """Decode hook turning training-mode output into (B, top_k, 6) detections.
 
     Equivalent of rebuilding the reference model with `mode='inference'`
     (`keras_ssd300_dct_j2d_resnet.py:884-896`) — compose as
     `decode_fn(model.apply(params, inputs))`.
+
+    Serving defaults: the Pallas NMS kernel on TPU and the shared
+    candidate-pool selector (see `boxes.decode.decode_detections` — exact for
+    trained, background-dominant heads; ~2.5x cheaper candidate sort).  Pass
+    `candidate_selector='exact'`/`nms_impl='xla'` for the reference's literal
+    per-class semantics.
     """
     return functools.partial(
         decode_detections,
@@ -430,4 +437,5 @@ def make_inference_fn(
         img_height=spec.img_height,
         img_width=spec.img_width,
         nms_impl=nms_impl,
+        candidate_selector=candidate_selector,
     )

@@ -238,6 +238,62 @@ class TestDecode:
             assert g[0] == e[0]
             np.testing.assert_allclose(g[1:], e[1:], atol=1e-3)
 
+    def test_shared_selector_matches_exact_on_peaked_scores(self, rng):
+        """'shared' candidate pre-compaction == 'exact' when the head is
+        background-dominant (the trained-network regime it serves)."""
+        n_classes, n_boxes = 4, 500
+        y = self._fake_preds(rng, n_boxes=n_boxes, n_classes=n_classes)
+        # Make it realistic: background takes ~all mass everywhere except a
+        # sparse set of confident detections.
+        scores = np.full((n_boxes, n_classes + 1), 1e-4, np.float32)
+        scores[:, 0] = 1.0
+        hot = rng.choice(n_boxes, 40, replace=False)
+        for i in hot:
+            c = int(rng.integers(1, n_classes + 1))
+            p = float(rng.uniform(0.2, 0.95))
+            scores[i, 0] = 1.0 - p
+            scores[i, c] = p
+        scores /= scores.sum(axis=1, keepdims=True)
+        y[0, :, : n_classes + 1] = scores
+        kw = dict(n_classes=n_classes, confidence_thresh=0.05,
+                  iou_threshold=0.45, top_k=50, nms_max_output_size=64,
+                  img_height=300, img_width=300)
+        exact = np.asarray(decode_detections(
+            jnp.asarray(y), candidate_selector="exact", **kw))
+        shared = np.asarray(decode_detections(
+            jnp.asarray(y), candidate_selector="shared",
+            shared_pool_size=128, **kw))
+        np.testing.assert_allclose(shared, exact, atol=1e-5)
+
+    def test_decode_debug_preserves_box_ids(self, rng):
+        """decode_detections_debug == decode_detections + a correct box_id
+        column (`ssd_output_decoder.py:342`)."""
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections_debug,
+            decode_raw_predictions,
+        )
+
+        n_classes = 3
+        y = self._fake_preds(rng, n_boxes=150, n_classes=n_classes)
+        kw = dict(n_classes=n_classes, confidence_thresh=0.3,
+                  iou_threshold=0.45, top_k=50, nms_max_output_size=64,
+                  img_height=300, img_width=300)
+        plain = np.asarray(decode_detections(jnp.asarray(y), **kw))[0]
+        dbg = np.asarray(decode_detections_debug(jnp.asarray(y), **kw))[0]
+        assert dbg.shape == (50, 7)
+        # columns 1: of debug == the plain decode
+        np.testing.assert_allclose(dbg[:, 1:], plain, atol=1e-5)
+        # each surviving row's box_id points at the raw box that decodes to
+        # exactly these coordinates
+        _, raw_boxes = decode_raw_predictions(
+            jnp.asarray(y), img_height=300, img_width=300)
+        raw_boxes = np.asarray(raw_boxes)[0]
+        for row in dbg:
+            if row[2] > 0:
+                np.testing.assert_allclose(
+                    raw_boxes[int(row[0])], row[3:], atol=1e-4
+                )
+
     def test_decode_output_shape_padding(self, rng):
         y = self._fake_preds(rng, n_boxes=60, n_classes=2)
         out = np.asarray(
