@@ -342,6 +342,219 @@ class SSDRandomCrop:
                 )
 
 
+class BoundGenerator:
+    """Samples (lower, upper) bound pairs from a discrete space
+    (`object_detection_2d_image_boxes_validation_utils.py:28-77`).  `None`
+    entries normalize to 0.0 / 1.0."""
+
+    def __init__(
+        self,
+        sample_space=((0.1, None), (0.3, None), (0.5, None), (0.7, None),
+                      (0.9, None), (None, None)),
+        weights=None,
+    ):
+        self.sample_space = []
+        for lo, hi in sample_space:
+            lo = 0.0 if lo is None else lo
+            hi = 1.0 if hi is None else hi
+            if lo > hi:
+                raise ValueError("lower bound > upper bound")
+            self.sample_space.append((lo, hi))
+        n = len(self.sample_space)
+        if weights is not None and len(weights) != n:
+            raise ValueError("weights must match sample_space length")
+        self.weights = list(weights) if weights is not None else [1.0 / n] * n
+
+    def __call__(self, rng):
+        i = rng.choice(len(self.sample_space), p=self.weights)
+        return self.sample_space[i]
+
+
+def _border_delta(border_pixels):
+    return {"half": 0.0, "include": 1.0, "exclude": -1.0}[border_pixels]
+
+
+def box_filter(
+    labels,
+    image_height=None,
+    image_width=None,
+    *,
+    check_overlap=True,
+    check_min_area=True,
+    check_degenerate=True,
+    overlap_criterion="center_point",
+    overlap_bounds=(0.3, 1.0),
+    min_area=16,
+    border_pixels="half",
+    rng=None,
+):
+    """Standalone box-validity filter — the reference's `BoxFilter`
+    (`object_detection_2d_image_boxes_validation_utils.py:79-233`) as a pure
+    function.  Returns the rows of `labels` (k, 5+) that satisfy every
+    enabled criterion against an image of the given size:
+
+      * 'center_point': box center inside [0, w-1] x [0, h-1];
+      * 'area': intersection(box, image) / box area within bounds;
+      * 'iou': IoU(box, image rect) within (lower, upper];
+      plus optional degenerate-box and minimum-area checks.
+
+    `overlap_bounds` may be a `BoundGenerator` (pass `rng`)."""
+    labels = np.asarray(labels, dtype=np.float32)
+    if labels.size == 0:
+        return labels.reshape(0, labels.shape[-1] if labels.ndim > 1 else 5)
+    keep = np.ones(labels.shape[0], dtype=bool)
+    xmin, ymin, xmax, ymax = labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4]
+
+    if check_degenerate:
+        keep &= (xmax > xmin) & (ymax > ymin)
+    if check_min_area:
+        keep &= (xmax - xmin) * (ymax - ymin) >= min_area
+    if check_overlap:
+        if isinstance(overlap_bounds, BoundGenerator):
+            if rng is None:
+                raise ValueError("BoundGenerator bounds require rng")
+            lower, upper = overlap_bounds(rng)
+        else:
+            lower, upper = overlap_bounds
+        d = _border_delta(border_pixels)
+        if overlap_criterion == "iou":
+            # image rect is [0, 0, w, h] (`:197`), not [0, 0, w-1, h-1]
+            ix = np.maximum(
+                0.0, np.minimum(image_width, xmax) - np.maximum(0, xmin) + d
+            )
+            iy = np.maximum(
+                0.0, np.minimum(image_height, ymax) - np.maximum(0, ymin) + d
+            )
+            inter = ix * iy
+            a_img = (image_width + d) * (image_height + d)
+            a_box = (xmax - xmin + d) * (ymax - ymin + d)
+            union = a_img + a_box - inter
+            iou_vals = np.where(union > 0, inter / union, 0.0)
+            keep &= (iou_vals > lower) & (iou_vals <= upper)
+        elif overlap_criterion == "area":
+            a_box = (xmax - xmin + d) * (ymax - ymin + d)
+            cx0 = np.clip(xmin, 0, image_width - 1)
+            cx1 = np.clip(xmax, 0, image_width - 1)
+            cy0 = np.clip(ymin, 0, image_height - 1)
+            cy1 = np.clip(ymax, 0, image_height - 1)
+            inter = (cx1 - cx0 + d) * (cy1 - cy0 + d)
+            # `>` at lower == 0 so zero-area boxes never count
+            # (`object_detection_2d_image_boxes_validation_utils.py:219-224`)
+            lo_ok = (
+                inter > lower * a_box if lower == 0.0 else inter >= lower * a_box
+            )
+            keep &= lo_ok & (inter <= upper * a_box)
+        elif overlap_criterion == "center_point":
+            cx = (xmin + xmax) / 2
+            cy = (ymin + ymax) / 2
+            keep &= (
+                (cx >= 0.0) & (cx <= image_width - 1)
+                & (cy >= 0.0) & (cy <= image_height - 1)
+            )
+        else:
+            raise ValueError(f"unknown overlap_criterion {overlap_criterion!r}")
+    return labels[keep]
+
+
+def image_is_valid(
+    labels,
+    image_height,
+    image_width,
+    *,
+    overlap_criterion="center_point",
+    bounds=(0.3, 1.0),
+    n_boxes_min=1,
+    border_pixels="half",
+    rng=None,
+):
+    """The reference's `ImageValidator`
+    (`object_detection_2d_image_boxes_validation_utils.py:234-320`): True if
+    at least `n_boxes_min` boxes (or 'all') meet the overlap criterion against
+    an image of the given size."""
+    labels = np.asarray(labels, dtype=np.float32)
+    valid = box_filter(
+        labels,
+        image_height,
+        image_width,
+        check_overlap=True,
+        check_min_area=False,
+        check_degenerate=False,
+        overlap_criterion=overlap_criterion,
+        overlap_bounds=bounds,
+        border_pixels=border_pixels,
+        rng=rng,
+    )
+    if n_boxes_min == "all":
+        return len(valid) == len(labels)
+    return len(valid) >= n_boxes_min
+
+
+class RandomMaxCropFixedAR:
+    """Crop the largest possible patch of a fixed aspect ratio at a random
+    position (`object_detection_2d_patch_sampling_ops.py:744-822`): up to
+    `n_trials_max` positions are tried against `image_validator`; on failure
+    the input is returned unchanged (RandomPatch `can_fail=False` path,
+    `:548-570`)."""
+
+    def __init__(self, patch_aspect_ratio, n_trials_max=3, clip_boxes=True,
+                 image_validator=None):
+        self.patch_aspect_ratio = patch_aspect_ratio
+        self.n_trials_max = n_trials_max
+        self.clip_boxes = clip_boxes
+        self.image_validator = image_validator  # callable(labels, h, w, rng)
+
+    def __call__(self, image, labels, rng):
+        h, w = image.shape[:2]
+        if w / h < self.patch_aspect_ratio:
+            pw = w
+            ph = int(round(pw / self.patch_aspect_ratio))
+        else:
+            ph = h
+            pw = int(round(ph * self.patch_aspect_ratio))
+        for _ in range(max(1, self.n_trials_max)):
+            ymin = int(rng.integers(0, h - ph + 1)) if h > ph else 0
+            xmin = int(rng.integers(0, w - pw + 1)) if w > pw else 0
+            if labels is None or not len(labels) or self.image_validator is None:
+                return crop_patch(
+                    image, labels, ymin, xmin, ph, pw,
+                    clip_boxes=self.clip_boxes,
+                )
+            shifted = labels.astype(np.float32).copy()
+            shifted[:, [1, 3]] -= xmin
+            shifted[:, [2, 4]] -= ymin
+            if self.image_validator(shifted, ph, pw, rng):
+                return crop_patch(
+                    image, labels, ymin, xmin, ph, pw,
+                    clip_boxes=self.clip_boxes,
+                )
+        return image, labels
+
+
+class RandomPadFixedAR:
+    """Minimal padding to reach a fixed aspect ratio, image placed at a random
+    position on the canvas (`object_detection_2d_patch_sampling_ops.py:823-881`)."""
+
+    def __init__(self, patch_aspect_ratio, background=(0, 0, 0)):
+        self.patch_aspect_ratio = patch_aspect_ratio
+        self.background = background
+
+    def __call__(self, image, labels, rng):
+        h, w = image.shape[:2]
+        if w < h:
+            ph = h
+            pw = int(round(ph * self.patch_aspect_ratio))
+        else:
+            pw = w
+            ph = int(round(pw / self.patch_aspect_ratio))
+        # canvas >= image: offsets are non-positive (image inside the canvas)
+        ymin = int(rng.integers(h - ph, 1)) if ph > h else 0
+        xmin = int(rng.integers(w - pw, 1)) if pw > w else 0
+        return crop_patch(
+            image, labels, ymin, xmin, ph, pw,
+            background=self.background, clip_boxes=False,
+        )
+
+
 class SSDDataAugmentation:
     """The full Caffe-SSD training chain: photometric -> expand -> random
     crop -> random hflip -> resize(300) with random interpolation

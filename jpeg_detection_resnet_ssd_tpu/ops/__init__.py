@@ -7,12 +7,16 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     dct_flip_horizontal,
     dct_flip_vertical,
     dct_crop_blocks,
+    dct_downscale_2x,
     dct_random_crop_flip,
     dct_brightness_contrast,
     dct_random_photometric,
 )
 from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
     dct_detection_crop_flip,
+    dct_detection_expand,
+    dct_detection_min_iou_crop_flip,
     make_dct_detection_augment,
+    make_dct_detection_augment_v2,
 )
 from jpeg_detection_resnet_ssd_tpu.ops.pallas_nms import pallas_batched_nms_mask

@@ -152,6 +152,62 @@ def dct_random_crop_flip(
     return jax.vmap(one)(y, cbcr, y0c, x0c, do_flip)
 
 
+@functools.lru_cache(maxsize=None)
+def _downscale_mats():
+    """Constant 8x8 matrices (M0, M1) for exact DCT-domain 2x downscale.
+
+    Derivation: an 8x8 coefficient block B decodes to pixels P = Cᵀ B C
+    (C = orthonormal DCT-II).  Average-pooling a 16x16 tile of four blocks
+    down to 8x8 is D = A P_tile Aᵀ with A the (8, 16) 2-tap averaging matrix;
+    re-encoding gives  C D Cᵀ = Σ_{i,j} (C A_i Cᵀ) B_ij (C A_j Cᵀ)ᵀ  with
+    A_i the left/right 8x8 halves of A.  So the whole downscale is four small
+    matmuls per output block — batched below as einsums that XLA maps onto
+    the MXU.  Level-shift invariant (averaging commutes with the -128 shift),
+    so it applies directly to JPEG's shifted coefficients."""
+    k = np.arange(8)
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16) / 2.0
+    C[0] /= np.sqrt(2.0)  # orthonormal: C @ C.T == I
+    A = np.zeros((8, 16))
+    A[k, 2 * k] = 0.5
+    A[k, 2 * k + 1] = 0.5
+    M0 = C @ A[:, :8] @ C.T
+    M1 = C @ A[:, 8:] @ C.T
+    return (
+        np.ascontiguousarray(M0, np.float32),
+        np.ascontiguousarray(M1, np.float32),
+    )
+
+
+def dct_downscale_2x(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x average-pool downscale in coefficient space.
+
+    (..., H8, W8, k*64) -> (..., H8/2, W8/2, k*64): each output block is a
+    fixed linear combination of its four source blocks (see
+    `_downscale_mats`) — the recompression-free analog of shrinking the
+    decoded image by 2 and re-encoding.  Pixel parity with
+    pool2x2(idct(blocks)) is exact (tests).  Four einsum contractions total,
+    all MXU-shaped."""
+    blocks = jnp.asarray(blocks)
+    *lead, H8, W8, Ch = blocks.shape
+    if H8 % 2 or W8 % 2 or Ch % 64:
+        raise ValueError(f"bad shape for 2x downscale: {blocks.shape}")
+    g = Ch // 64
+    M0, M1 = (jnp.asarray(m, blocks.dtype) for m in _downscale_mats())
+    M = (M0, M1)
+    x = blocks.reshape(*lead, H8 // 2, 2, W8 // 2, 2, g, 8, 8)
+    out = None
+    for i in (0, 1):
+        for j in (0, 1):
+            term = jnp.einsum(
+                "au,...uv,bv->...ab",
+                M[i],
+                x[..., :, i, :, j, :, :, :],
+                M[j],
+            )
+            out = term if out is None else out + term
+    return out.reshape(*lead, H8 // 2, W8 // 2, Ch)
+
+
 def dct_brightness_contrast(
     blocks: jnp.ndarray,
     brightness: jnp.ndarray | float = 0.0,

@@ -30,7 +30,118 @@ import jax.numpy as jnp
 from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     _flip_h_jnp,
     dct_crop_blocks,
+    dct_downscale_2x,
 )
+
+
+def _rgb_to_ycbcr_dc(background):
+    """Constant-color 8x8 block DC coefficients (orthonormal DCT of the
+    level-shifted plane): DC = 8 * (value - 128), AC = 0."""
+    r, g, b = (float(v) for v in background)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return 8.0 * (yy - 128.0), 8.0 * (cb - 128.0), 8.0 * (cr - 128.0)
+
+
+def _background_maps(y_shape, cbcr_shape, background, dtype):
+    """Constant-color coefficient maps (luma, stacked CbCr)."""
+    dc_y, dc_cb, dc_cr = _rgb_to_ycbcr_dc(background)
+    c_y = jnp.zeros((64,), dtype).at[0].set(dc_y)
+    c_c = (
+        jnp.zeros((128,), dtype).at[0].set(dc_cb).at[64].set(dc_cr)
+    )
+    return (
+        jnp.broadcast_to(c_y, y_shape),
+        jnp.broadcast_to(c_c, cbcr_shape),
+    )
+
+
+def dct_detection_expand(
+    y: jax.Array,
+    cbcr: jax.Array,
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    rng: jax.Array,
+    prob: float = 0.5,
+    background=(123, 117, 104),
+):
+    """Device-side zoom-out in coefficient space — the analog of the
+    reference's `SSDExpand` (`data_augmentation_chain_original_ssd.py:103-144`:
+    place the image on a mean-color canvas of 1-4x with p=0.5, boxes
+    shifted).  Block-granular version: with probability `prob` the image is
+    downscaled exactly 2x in the DCT domain (`dct_downscale_2x` — a fixed
+    linear map, no recompression) and placed at a random 16px-aligned offset
+    on a same-size canvas filled with the background color; GT boxes are
+    halved and shifted.  The canvas factor is fixed at 2 (vs the reference's
+    continuous U(1,4)) because arbitrary rescales are not exactly expressible
+    block-wise; the zoom-out training signal (small objects) is preserved.
+
+    Shapes: y (B, H8, W8, 64) with H8, W8 divisible by 4; cbcr
+    (B, H8/2, W8/2, 128); gt (B, max_gt, 5) absolute pixels; gt_mask (B, max_gt).
+    """
+    B, H8, W8, _ = y.shape
+    if H8 % 4 or W8 % 4:
+        raise ValueError(f"expand requires H8, W8 divisible by 4, got {y.shape}")
+    k1, k2, k3 = jax.random.split(rng, 3)
+    do = jax.random.bernoulli(k1, prob, (B,))
+    # placement offset of the half-size image, in chroma-block (16 px) units
+    oy = jax.random.randint(k2, (B,), 0, H8 // 4 + 1)
+    ox = jax.random.randint(k3, (B,), 0, W8 // 4 + 1)
+
+    y_small = dct_downscale_2x(y)        # (B, H8/2, W8/2, 64)
+    c_small = dct_downscale_2x(cbcr)     # (B, H8/4, W8/4, 128)
+    bg_y, bg_c = _background_maps(y.shape[1:], cbcr.shape[1:],
+                                  background, y.dtype)
+
+    def place_one(ys, cs, oy_c, ox_c):
+        yc = jax.lax.dynamic_update_slice(
+            bg_y, ys, (2 * oy_c, 2 * ox_c, 0)
+        )
+        cc = jax.lax.dynamic_update_slice(bg_c, cs, (oy_c, ox_c, 0))
+        return yc, cc
+
+    y_exp, c_exp = jax.vmap(place_one)(y_small, c_small, oy, ox)
+    y_out = jnp.where(do[:, None, None, None], y_exp, y)
+    c_out = jnp.where(do[:, None, None, None], c_exp, cbcr)
+
+    dx = (16.0 * ox)[:, None].astype(gt.dtype)
+    dy = (16.0 * oy)[:, None].astype(gt.dtype)
+    gt_exp = jnp.concatenate(
+        [
+            gt[..., 0:1],
+            (gt[..., 1:2] * 0.5 + dx[..., None]),
+            (gt[..., 2:3] * 0.5 + dy[..., None]),
+            (gt[..., 3:4] * 0.5 + dx[..., None]),
+            (gt[..., 4:5] * 0.5 + dy[..., None]),
+        ],
+        axis=-1,
+    )
+    gt_out = jnp.where(do[:, None, None], gt_exp, gt)
+    return y_out, c_out, gt_out, gt_mask
+
+
+# Caffe-SSD min-IoU sample space (`data_augmentation_chain_original_ssd.py:36`);
+# -1 encodes "no requirement".
+_IOU_BOUNDS = jnp.asarray([-1.0, 0.1, 0.3, 0.5, 0.7, 0.9], jnp.float32)
+
+
+def _patch_gt_iou(x0px, y0px, out_px, gt, gt_mask):
+    """Max IoU between the patch [x0, y0, x0+out, y0+out] and the valid GT."""
+    ix = jnp.maximum(
+        0.0,
+        jnp.minimum(x0px + out_px, gt[:, 3]) - jnp.maximum(x0px, gt[:, 1]),
+    )
+    iy = jnp.maximum(
+        0.0,
+        jnp.minimum(y0px + out_px, gt[:, 4]) - jnp.maximum(y0px, gt[:, 2]),
+    )
+    inter = ix * iy
+    a_p = out_px * out_px
+    a_b = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2])
+    union = a_p + a_b - inter
+    iou = jnp.where((union > 0) & gt_mask, inter / union, 0.0)
+    return jnp.max(iou, initial=0.0)
 
 
 def _crop_flip_one(y, cbcr, gt, gt_mask, y0c, x0c, flip,
@@ -110,6 +221,69 @@ def dct_detection_crop_flip(
     return jax.vmap(fn)(y, cbcr, gt, gt_mask, y0c, x0c, flip)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_y_blocks", "n_trials")
+)
+def dct_detection_min_iou_crop_flip(
+    y: jax.Array,
+    cbcr: jax.Array,
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    rng: jax.Array,
+    out_y_blocks: int = 38,
+    n_trials: int = 8,
+):
+    """Bounded-trials min-IoU random crop + hflip, fully on device.
+
+    The Caffe-SSD random crop (`data_augmentation_chain_original_ssd.py:29-101`
+    / `SSDRandomCrop`) samples a lower IoU bound from
+    {none, .1, .3, .5, .7, .9} and rejection-samples patches until one has
+    IoU >= bound with at least one GT box.  Rejection loops are host-think;
+    the TPU analog samples the bound and `n_trials` candidate 16px-aligned
+    offsets per image UP FRONT, scores every candidate's max patch-GT IoU in
+    parallel (a (trials, max_gt) elementwise block — trivial next to the conv
+    stack), and selects the first satisfying candidate; if none satisfies,
+    the highest-IoU candidate is used (vs the reference returning the image
+    uncropped — impossible here since the source map is oversized and the
+    output shape is static; the argmax fallback is the closest
+    distribution-preserving choice).  Crop scale is fixed by
+    out_y_blocks/source size (the host ships an oversized map) rather than
+    the reference's U(0.3, 1) patch scale — see `dct_detection_expand` for
+    the scale axis of the distribution.
+
+    Returns (y_out, cbcr_out, gt_out, mask_out), gt in the crop frame.
+    """
+    B, H8, W8, _ = y.shape
+    max_y0 = (H8 - out_y_blocks) // 2
+    max_x0 = (W8 - out_y_blocks) // 2
+    out_px = out_y_blocks * 8
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    bounds = _IOU_BOUNDS[
+        jax.random.randint(k1, (B,), 0, _IOU_BOUNDS.shape[0])
+    ]
+    y0s = jax.random.randint(k2, (B, n_trials), 0, max_y0 + 1)
+    x0s = jax.random.randint(k3, (B, n_trials), 0, max_x0 + 1)
+    flip = jax.random.bernoulli(k4, 0.5, (B,))
+
+    def choose_one(y0t, x0t, bound, gt_i, mask_i):
+        ious = jax.vmap(
+            lambda y0, x0: _patch_gt_iou(
+                (16 * x0).astype(jnp.float32),
+                (16 * y0).astype(jnp.float32),
+                float(out_px), gt_i, mask_i,
+            )
+        )(y0t, x0t)  # (n_trials,)
+        ok = (ious >= bound) | (bound < 0.0) | ~jnp.any(mask_i)
+        first_ok = jnp.argmax(ok)          # first True (argmax of bools)
+        best = jnp.argmax(ious)            # fallback: highest-IoU candidate
+        pick = jnp.where(jnp.any(ok), first_ok, best)
+        return y0t[pick], x0t[pick]
+
+    y0c, x0c = jax.vmap(choose_one)(y0s, x0s, bounds, gt, gt_mask)
+    fn = functools.partial(_crop_flip_one, out_y_blocks=out_y_blocks)
+    return jax.vmap(fn)(y, cbcr, gt, gt_mask, y0c, x0c, flip)
+
+
 def make_dct_detection_augment(out_y_blocks: int = 38):
     """Build a Trainer `augment_fn`: batches carrying oversized coefficient
     maps + source-frame GT get cropped/flipped (with GT rewrite) on device,
@@ -132,6 +306,53 @@ def make_dct_detection_augment(out_y_blocks: int = 38):
         out = dict(batch)
         out["inputs"] = (y2, c2)
         out["gt"], out["gt_mask"] = gt2, m2
+        return out
+
+    return augment
+
+
+def make_dct_detection_augment_v2(
+    out_y_blocks: int = 38,
+    expand_prob: float = 0.5,
+    n_trials: int = 8,
+    photometric: bool = True,
+    background=(123, 117, 104),
+):
+    """The COMPLETE device-side analog of the reference's SSD training chain
+    (`SSDDataAugmentation`, `data_augmentation_chain_original_ssd.py:208-280`:
+    photometric -> expand -> min-IoU random crop -> hflip -> resize), compiled
+    into the train step:
+
+      * photometric: DCT-domain brightness/contrast (`dct_random_photometric`);
+      * expand: 2x zoom-out onto a mean-color canvas (`dct_detection_expand`);
+      * crop+flip: bounded-trials min-IoU crop (`dct_detection_min_iou_crop_flip`);
+      * resize: subsumed by the fixed out_y_blocks frame contract.
+
+    Usage mirrors `make_dct_detection_augment`; the host ships oversized
+    coefficient maps whose side is a multiple of 4 blocks (e.g. 44 -> 352 px).
+    """
+    from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
+        dct_random_photometric,
+    )
+
+    def augment(batch, rng):
+        y, cbcr = batch["inputs"]
+        gt, mask = batch["gt"], batch["gt_mask"]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if photometric:
+            y, cbcr = dct_random_photometric(y, cbcr, k1)
+        if expand_prob > 0:
+            y, cbcr, gt, mask = dct_detection_expand(
+                y, cbcr, gt, mask, k2,
+                prob=expand_prob, background=background,
+            )
+        y, cbcr, gt, mask = dct_detection_min_iou_crop_flip(
+            y, cbcr, gt, mask, k3,
+            out_y_blocks=out_y_blocks, n_trials=n_trials,
+        )
+        out = dict(batch)
+        out["inputs"] = (y, cbcr)
+        out["gt"], out["gt_mask"] = gt, mask
         return out
 
     return augment

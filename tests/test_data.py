@@ -191,6 +191,121 @@ class TestAugment:
         np.testing.assert_allclose(lab[0], [1, 20, 140, 80, 190])
 
 
+class TestBoxValidation:
+    """Standalone `BoxFilter`/`ImageValidator`/`BoundGenerator`
+    (`object_detection_2d_image_boxes_validation_utils.py:28,79,234`)."""
+
+    LABELS = np.array(
+        [[1, 10, 10, 50, 50],      # fully inside 100x100
+         [2, 80, 80, 140, 140],    # partially outside, center (110,110) out
+         [3, 120, 120, 160, 160],  # fully outside
+         [4, 30, 30, 32, 32],      # tiny (area 4)
+         [5, 40, 40, 40, 60]],     # degenerate (xmax == xmin)
+        np.float32,
+    )
+
+    def test_center_point(self):
+        out = aug.box_filter(
+            self.LABELS, 100, 100, overlap_criterion="center_point",
+            check_min_area=False, check_degenerate=False,
+        )
+        assert sorted(out[:, 0]) == [1, 4, 5]
+
+    def test_degenerate_and_min_area(self):
+        out = aug.box_filter(
+            self.LABELS, 100, 100, check_overlap=False,
+            check_min_area=True, check_degenerate=True, min_area=16,
+        )
+        # drops the degenerate (5) and the 4-px box (4)
+        assert sorted(out[:, 0]) == [1, 2, 3]
+
+    def test_area_criterion(self):
+        out = aug.box_filter(
+            self.LABELS[:3], 100, 100, overlap_criterion="area",
+            overlap_bounds=(0.3, 1.0), check_min_area=False,
+            check_degenerate=False,
+        )
+        # box 1 fully inside (ratio 1); box 2 ~ (19*19)/(60*60) ≈ 0.10 < .3;
+        # box 3 fully outside
+        assert list(out[:, 0]) == [1]
+
+    def test_iou_criterion(self):
+        big = np.array([[7, 0, 0, 100, 100]], np.float32)
+        out = aug.box_filter(
+            big, 100, 100, overlap_criterion="iou",
+            overlap_bounds=(0.5, 1.0), check_min_area=False,
+            check_degenerate=False,
+        )
+        assert len(out) == 1
+        out = aug.box_filter(
+            self.LABELS[2:3], 100, 100, overlap_criterion="iou",
+            overlap_bounds=(0.1, 1.0), check_min_area=False,
+            check_degenerate=False,
+        )
+        assert len(out) == 0
+
+    def test_image_validator(self):
+        assert aug.image_is_valid(self.LABELS[:1], 100, 100, n_boxes_min=1)
+        assert not aug.image_is_valid(
+            self.LABELS[:3], 100, 100, n_boxes_min="all"
+        )
+        # no valid boxes at all
+        assert not aug.image_is_valid(self.LABELS[2:3], 100, 100)
+
+    def test_bound_generator(self, rng):
+        bg = aug.BoundGenerator()
+        seen = set()
+        for _ in range(100):
+            lo, hi = bg(rng)
+            assert 0.0 <= lo <= hi <= 1.0
+            seen.add((lo, hi))
+        assert len(seen) == 6  # all six sample-space entries reachable
+        with pytest.raises(ValueError):
+            aug.BoundGenerator(sample_space=((0.9, 0.1),))
+
+    def test_bound_generator_in_box_filter(self, rng):
+        out = aug.box_filter(
+            self.LABELS[:2], 100, 100, overlap_criterion="iou",
+            overlap_bounds=aug.BoundGenerator(sample_space=((0.0, 1.0),)),
+            check_min_area=False, check_degenerate=False, rng=rng,
+        )
+        assert len(out) == 2
+
+
+class TestFixedARPatches:
+    def test_max_crop_fixed_ar_shape(self, rng):
+        img = np.full((100, 200, 3), 90, np.uint8)
+        labels = np.array([[1, 90, 40, 110, 60]], np.float32)
+        op = aug.RandomMaxCropFixedAR(patch_aspect_ratio=1.0)
+        for _ in range(10):
+            out, lab = op(img, labels, rng)
+            assert out.shape == (100, 100, 3)  # largest 1:1 patch of 100x200
+
+    def test_max_crop_fixed_ar_validator_fallback(self, rng):
+        img = np.full((100, 300, 3), 90, np.uint8)
+        # box at the far right; validator demands a box in every patch
+        labels = np.array([[1, 280, 40, 299, 60]], np.float32)
+        validator = lambda lab, h, w, r: aug.image_is_valid(
+            lab, h, w, n_boxes_min=1
+        )
+        op = aug.RandomMaxCropFixedAR(1.0, n_trials_max=50,
+                                      image_validator=validator)
+        out, lab = op(img, labels, rng)
+        if out.shape == (100, 100, 3):   # found a valid patch: box kept
+            assert len(lab) == 1
+        else:                            # fell back to the input unchanged
+            assert out.shape == (100, 300, 3)
+
+    def test_pad_fixed_ar(self, rng):
+        img = np.full((100, 40, 3), 90, np.uint8)
+        labels = np.array([[1, 5, 10, 35, 90]], np.float32)
+        op = aug.RandomPadFixedAR(patch_aspect_ratio=2.0)
+        out, lab = op(img, labels, rng)
+        assert out.shape == (100, 200, 3)  # padded to 2:1, keeps full image
+        assert len(lab) == 1
+        np.testing.assert_allclose(lab[0, 4] - lab[0, 2], 80)  # height kept
+
+
 class TestPipelines:
     def test_classification_dct(self, imagenet_root):
         ds = ImageFolderDataset(imagenet_root)

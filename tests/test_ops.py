@@ -272,3 +272,158 @@ class TestDCTDetectionAugment:
         assert targets.shape == (B, 8732, 33)
         pos = targets[..., 1:21].max(-1)
         assert (pos.sum(axis=1) >= 1).all()
+
+
+class TestDCTDownscale:
+    def test_pixel_parity_with_avg_pool(self, rng):
+        """DCT-domain 2x downscale == pixel-space 2x2 average pooling."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_downscale_2x
+
+        blocks = decode_plane(rng, size=(64, 64))  # (8, 8, 64)
+        small = np.asarray(dct_downscale_2x(jnp.asarray(blocks)))
+        assert small.shape == (4, 4, 64)
+        pix = blocks_to_pixels(blocks)  # (64, 64)
+        pooled = pix.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(
+            blocks_to_pixels(small), pooled, atol=1e-2
+        )
+
+    def test_batched_and_multichannel(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_downscale_2x
+
+        x = rng.normal(0, 40, (3, 6, 8, 128)).astype(np.float32)
+        out = np.asarray(dct_downscale_2x(jnp.asarray(x)))
+        assert out.shape == (3, 3, 4, 128)
+        # channel groups are independent: each 64-group equals its own 1-group
+        a = np.asarray(dct_downscale_2x(jnp.asarray(x[..., :64])))
+        np.testing.assert_allclose(out[..., :64], a, atol=1e-4)
+
+
+class TestDCTDetectionExpand:
+    def _setup(self, rng, B=4, H8=44):
+        y = rng.normal(0, 50, (B, H8, H8, 64)).astype(np.float32)
+        cbcr = rng.normal(0, 20, (B, H8 // 2, H8 // 2, 128)).astype(np.float32)
+        gt = np.zeros((B, 4, 5), np.float32)
+        gt[:, 0] = [3, 100, 120, 220, 240]
+        mask = np.zeros((B, 4), bool)
+        mask[:, 0] = True
+        return y, cbcr, gt, mask
+
+    def test_expand_scales_and_shifts_gt(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_detection_expand
+
+        y, cbcr, gt, mask = self._setup(rng)
+        yo, co, g, m = dct_detection_expand(
+            jnp.asarray(y), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(0), prob=1.0,
+        )
+        yo, co, g, m = map(np.asarray, (yo, co, g, m))
+        assert yo.shape == y.shape and co.shape == cbcr.shape
+        assert (m == mask).all()
+        for b in range(g.shape[0]):
+            r = g[b, 0]
+            # halved size, offset is a multiple of 16
+            np.testing.assert_allclose(r[3] - r[1], 60, atol=1e-4)
+            np.testing.assert_allclose(r[4] - r[2], 60, atol=1e-4)
+            assert (r[1] - gt[b, 0, 1] * 0.5) % 16 == pytest.approx(0, abs=1e-3)
+
+    def test_expand_pixel_content(self, rng):
+        """The expanded map decodes to the 2x-downscaled image placed on a
+        constant background."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_detection_expand
+
+        blocks = decode_plane(rng, size=(64, 64))[None]  # (1, 8, 8, 64)
+        cbcr = np.zeros((1, 4, 4, 128), np.float32)
+        gt = np.zeros((1, 1, 5), np.float32)
+        mask = np.ones((1, 1), bool)
+        yo, _, _, _ = dct_detection_expand(
+            jnp.asarray(blocks), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(3), prob=1.0,
+        )
+        out_pix = blocks_to_pixels(np.asarray(yo)[0])
+        src_pix = blocks_to_pixels(blocks[0])
+        pooled = src_pix.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+        # the downscaled image appears somewhere 16px-aligned; background is
+        # the constant luma of (123,117,104)
+        bg = 0.299 * 123 + 0.587 * 117 + 0.114 * 104
+        found = False
+        for oy in range(0, 33, 16):
+            for ox in range(0, 33, 16):
+                if np.allclose(
+                    out_pix[oy:oy + 32, ox:ox + 32], pooled, atol=0.05
+                ):
+                    found = True
+                    patch_mask = np.ones_like(out_pix, bool)
+                    patch_mask[oy:oy + 32, ox:ox + 32] = False
+                    np.testing.assert_allclose(
+                        out_pix[patch_mask], bg, atol=0.05
+                    )
+        assert found
+
+    def test_prob_zero_identity(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_detection_expand
+
+        y, cbcr, gt, mask = self._setup(rng)
+        yo, co, g, m = dct_detection_expand(
+            jnp.asarray(y), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(0), prob=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(yo), y)
+        np.testing.assert_allclose(np.asarray(g), gt)
+
+
+class TestMinIoUCrop:
+    def test_min_iou_crop_respects_bound_or_fallback(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            dct_detection_min_iou_crop_flip,
+        )
+
+        B, H8 = 16, 44
+        y = rng.normal(0, 50, (B, H8, H8, 64)).astype(np.float32)
+        cbcr = rng.normal(0, 20, (B, H8 // 2, H8 // 2, 128)).astype(np.float32)
+        gt = np.zeros((B, 4, 5), np.float32)
+        gt[:, 0] = [3, 100, 120, 220, 240]
+        mask = np.zeros((B, 4), bool)
+        mask[:, 0] = True
+        yo, co, g, m = dct_detection_min_iou_crop_flip(
+            jnp.asarray(y), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(0),
+            out_y_blocks=38, n_trials=8,
+        )
+        yo, g, m = np.asarray(yo), np.asarray(g), np.asarray(m)
+        assert yo.shape == (B, 38, 38, 64)
+        # the central 120x120 box has IoU ~0.15 with any 304-crop; the box
+        # center always stays inside, so every image keeps its box
+        assert m[:, 0].all()
+        for b in range(B):
+            r = g[b, 0]
+            assert 0 <= r[1] < r[3] <= 304 and 0 <= r[2] < r[4] <= 304
+
+    def test_v2_chain_composes_with_encoder(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+        from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v2,
+        )
+
+        enc = TargetEncoder(
+            spec=AnchorSpec(img_height=304, img_width=304),
+            predictor_sizes=ssd_predictor_sizes("resnet_custom"),
+            n_classes=20,
+        )
+        B = 4
+        y = rng.normal(0, 50, (B, 44, 44, 64)).astype(np.float32)
+        cbcr = rng.normal(0, 20, (B, 22, 22, 128)).astype(np.float32)
+        gt = np.zeros((B, 4, 5), np.float32)
+        gt[:, 0] = [3, 60, 60, 280, 280]  # big box: survives crop + expand
+        mask = np.zeros((B, 4), bool)
+        mask[:, 0] = True
+        aug_fn = make_dct_detection_augment_v2(out_y_blocks=38)
+        batch = {"inputs": (jnp.asarray(y), jnp.asarray(cbcr)),
+                 "gt": jnp.asarray(gt), "gt_mask": jnp.asarray(mask)}
+        out = aug_fn(batch, jax.random.PRNGKey(7))
+        y2, c2 = out["inputs"]
+        assert y2.shape == (B, 38, 38, 64) and c2.shape == (B, 19, 19, 128)
+        targets = np.asarray(enc.encode_fn(out["gt"], out["gt_mask"]))
+        pos = targets[..., 1:21].max(-1)
+        assert (pos.sum(axis=1) >= 1).all()
