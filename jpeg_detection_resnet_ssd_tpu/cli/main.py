@@ -163,16 +163,23 @@ def cmd_train_detect(args):
     augment_fn = None
     if args.device_augment:
         # North-star path: host resizes to a 352px (44-block) source frame;
-        # random crop/flip + GT rewrite + target encode all run INSIDE the
-        # compiled train step in DCT space (ops/dct_detect_augment.py).
-        from jpeg_detection_resnet_ssd_tpu.ops import make_dct_detection_augment
+        # the FULL augmentation chain — DCT-domain photometric, 2x zoom-out
+        # expand, bounded-trials min-IoU crop, hflip — plus GT rewrite and
+        # target encode all run INSIDE the compiled train step
+        # (ops/dct_detect_augment.py, mirror of the reference's
+        # SSDDataAugmentation chain).
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v2,
+        )
 
         encoder = TargetEncoder(
             spec=AnchorSpec(img_height=304, img_width=304),
             predictor_sizes=ssd_predictor_sizes(family),
             n_classes=20,
         )
-        augment_fn = make_dct_detection_augment(38)
+        augment_fn = make_dct_detection_augment_v2(
+            out_y_blocks=38, expand_prob=0.5 if args.crop else 0.0,
+        )
         pipe = DetectionPipeline(
             ds, config.batch_size, train=True, encoder=encoder,
             augmentation=None, img_height=352, img_width=352,

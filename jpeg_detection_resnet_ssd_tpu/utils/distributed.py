@@ -23,13 +23,19 @@ def maybe_initialize_distributed(
     Returns True if distributed mode is active."""
     import jax
 
-    if jax.process_count() > 1:
-        return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if coordinator_address is None and num_processes is None:
-        return False
+        # No multi-host contract in the environment.  Only NOW is it safe to
+        # touch jax.process_count() — querying it earlier would initialize
+        # the backend and make a later distributed.initialize() fail.
+        return jax.process_count() > 1
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None
+    if process_id is None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(pid) if pid is not None else None
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -122,6 +122,32 @@ def test_detection_step_tp_mesh(rng):
     assert float(metrics["reg"]) > 0
 
 
+def test_tp_optimizer_state_follows_param_sharding(rng):
+    """Under a tp_rule, SGD momentum for model-sharded kernels must be
+    sharded like the kernel (not replicated): no extra memory, no per-step
+    resharding."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    trainer = Trainer(
+        model=TinyDetector(),
+        loss_fn=detection_loss_fn(l2_scale=0.0),
+        optimizer=optax.sgd(1e-3, momentum=0.9),
+        mesh=mesh,
+        tp_rule=tensor_parallel_rule,
+        donate=False,
+    )
+    y, cbcr = _toy_batch(rng, 4)
+    with mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), (y[:1], cbcr[:1]))
+    momentum = state.opt_state[0].trace
+    assert momentum["fc6"]["kernel"].sharding.spec[-1] == "model"
+    # narrow leaves stay replicated
+    assert momentum["fc6"]["bias"].sharding.spec == ()
+    # batch_stats replicated (BN-free net has empty stats; check via shardings
+    # tree instead)
+    sh = trainer.state_shardings(state)
+    assert sh.opt_state[0].trace["fc6"]["kernel"].spec[-1] == "model"
+
+
 def test_schedules():
     s = keras_inverse_time_decay(0.1, 1e-4)
     assert float(s(0)) == pytest.approx(0.1)
