@@ -180,13 +180,32 @@ def cmd_train_detect(args):
         augment_fn = make_dct_detection_augment_v2(
             out_y_blocks=38, expand_prob=0.5 if args.crop else 0.0,
         )
-        pipe = DetectionPipeline(
-            ds, config.batch_size, train=True, encoder=encoder,
-            augmentation=None, img_height=352, img_width=352,
-            input_format=config.input_format,
-            num_workers=config.num_workers, seed=config.seed,
-            device_encode=True,
-        )
+        if args.pack_cache:
+            # Decode-once corpus: epochs read memmapped coefficient tensors
+            # at memory speed instead of re-decoding JPEGs (data/packed.py).
+            from jpeg_detection_resnet_ssd_tpu.data.packed import (
+                PackedDctDataset,
+                PackedDctPipeline,
+            )
+
+            if not os.path.exists(args.pack_cache + ".meta.json"):
+                print(f"packing DCT corpus -> {args.pack_cache} ...")
+                PackedDctDataset.create(
+                    ds, args.pack_cache, img_height=352, img_width=352,
+                    num_workers=config.num_workers, verbose=True,
+                )
+            pipe = PackedDctPipeline(
+                PackedDctDataset(args.pack_cache), config.batch_size,
+                train=True, seed=config.seed,
+            )
+        else:
+            pipe = DetectionPipeline(
+                ds, config.batch_size, train=True, encoder=encoder,
+                augmentation=None, img_height=352, img_width=352,
+                input_format=config.input_format,
+                num_workers=config.num_workers, seed=config.seed,
+                device_encode=True,
+            )
     else:
         augmentation = SSDDataAugmentation(crop=args.crop)
         # device_encode: ship raw padded GT; target encoding fuses into the
@@ -513,8 +532,13 @@ def build_parser():
     td.add_argument("--vgg", action="store_true",
                     help="VGG-DCT backbone instead of ResNet")
     td.add_argument("--device-augment", action="store_true",
-                    help="DCT-domain crop/flip + encode inside the compiled "
-                         "train step (recompression-free fast path)")
+                    help="full DCT-domain augmentation chain (photometric + "
+                         "expand + min-IoU crop + flip) + encode inside the "
+                         "compiled train step (recompression-free fast path)")
+    td.add_argument("--pack-cache", default=None,
+                    help="with --device-augment: stem path for a decode-once "
+                         "memmapped DCT corpus (created if absent); lifts the "
+                         "host JPEG-decode ceiling for repeated epochs")
     td.add_argument("--val-image-set", default=None,
                     help="ImageSets/Main/<file> for per-epoch validation "
                          "loss (e.g. val.txt)")

@@ -16,3 +16,7 @@ from jpeg_detection_resnet_ssd_tpu.data.pipeline import (
     DetectionPipeline,
     prefetch_to_device,
 )
+from jpeg_detection_resnet_ssd_tpu.data.packed import (
+    PackedDctDataset,
+    PackedDctPipeline,
+)

@@ -1,0 +1,177 @@
+"""Packed DCT-tensor corpus: decode once, train from memmapped coefficients.
+
+The host pipeline's ceiling is the per-image JPEG decode + augment + DCT
+re-encode (~80 img/s on this VM class, BENCHMARK.md) — the same per-epoch tax
+the reference pays in its generator loop (`_dct_j2d.py:1167-1189`).  With the
+device-side augmentation chain (`ops/dct_detect_augment.py`) no pixel-space
+work remains per epoch, so the host job collapses to "hand the device fixed-
+shape coefficient tensors".  This module pre-decodes a detection dataset ONCE
+into memmapped arrays:
+
+    <stem>.y.npy     (N, H8, W8, 64)   int16 luma coefficients
+    <stem>.cbcr.npy  (N, H8/2, W8/2, 128) int16 chroma
+    <stem>.labels.npz  gt (N, max_gt, 5) f32, gt_mask (N, max_gt) bool,
+                       image ids
+
+and serves batches at memory-bandwidth speed (`PackedDctPipeline`): per batch
+the only Python work is a fancy-index gather + int16 -> f32 cast.  Epochs are
+deterministically shuffled per seed; per-host sharding slices the index space
+(deterministic, disjoint — SURVEY.md §5.8's improvement over the reference's
+independent shuffles).
+
+Role in the reference: `create_hdf5_dataset` (`object_detection_2d_data_
+generator.py:673`) packed encoded bytes for RAM locality but still decoded
+per epoch; this packs the DECODED representation the model actually eats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from jpeg_detection_resnet_ssd_tpu.data import augment as aug
+from jpeg_detection_resnet_ssd_tpu.data.dct_convert import rgb_to_dct_tensors
+from jpeg_detection_resnet_ssd_tpu.data.pipeline import _load_record_rgb
+
+
+class PackedDctDataset:
+    """Memmap-backed fixed-frame DCT corpus for the device-augment path."""
+
+    def __init__(self, stem: str):
+        self.stem = stem
+        with open(stem + ".meta.json") as f:
+            self.meta = json.load(f)
+        self.y = np.load(stem + ".y.npy", mmap_mode="r")
+        self.cbcr = np.load(stem + ".cbcr.npy", mmap_mode="r")
+        labels = np.load(stem + ".labels.npz", allow_pickle=False)
+        self.gt = labels["gt"]
+        self.gt_mask = labels["gt_mask"]
+        self.image_ids = [s for s in labels["image_ids"]]
+
+    def __len__(self):
+        return self.y.shape[0]
+
+    @classmethod
+    def create(
+        cls,
+        dataset,
+        stem: str,
+        img_height: int = 352,
+        img_width: int = 352,
+        max_gt: int = 64,
+        quality: int = 75,
+        num_workers: int = 8,
+        verbose: bool = False,
+    ) -> "PackedDctDataset":
+        """Decode + resize + block-DCT every record once.
+
+        `dataset` is any detection dataset (records with image_path/bytes and
+        (k, 5) `boxes`).  The frame is the device-augment SOURCE frame
+        (oversized, e.g. 352 = 44 luma blocks for a 304 crop)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(dataset)
+        h8, w8 = img_height // 8, img_width // 8
+        y_arr = np.lib.format.open_memmap(
+            stem + ".y.npy", mode="w+", dtype=np.int16,
+            shape=(n, h8, w8, 64),
+        )
+        c_arr = np.lib.format.open_memmap(
+            stem + ".cbcr.npy", mode="w+", dtype=np.int16,
+            shape=(n, h8 // 2, w8 // 2, 128),
+        )
+        gt = np.zeros((n, max_gt, 5), np.float32)
+        gt_mask = np.zeros((n, max_gt), bool)
+        image_ids = [""] * n
+
+        def work(i):
+            rec = dataset[i]
+            image = _load_record_rgb(rec)
+            labels = rec["boxes"].copy()
+            image, labels = aug.resize(
+                aug.to_3_channels(image), labels, img_height, img_width,
+                filter_degenerate=False,
+            )
+            y, cbcr = rgb_to_dct_tensors(image, quality=quality)
+            y_arr[i] = y.astype(np.int16)
+            c_arr[i] = cbcr.astype(np.int16)
+            k = min(len(labels), max_gt)
+            if k:
+                gt[i, :k] = labels[:k]
+                gt_mask[i, :k] = True
+            image_ids[i] = str(rec.get("image_id", i))
+            if verbose and i % 200 == 0:
+                print(f"pack: {i}/{n}", flush=True)
+
+        with ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(work, range(n)))
+        y_arr.flush()
+        c_arr.flush()
+        np.savez(
+            stem + ".labels.npz", gt=gt, gt_mask=gt_mask,
+            image_ids=np.asarray(image_ids),
+        )
+        with open(stem + ".meta.json", "w") as f:
+            json.dump(
+                {
+                    "n": n, "img_height": img_height, "img_width": img_width,
+                    "max_gt": max_gt, "quality": quality,
+                },
+                f,
+            )
+        return cls(stem)
+
+
+class PackedDctPipeline:
+    """Batch iterator over a PackedDctDataset: gather + cast, nothing else.
+
+    Yields {'inputs': (y, cbcr) f32, 'gt', 'gt_mask'} — exactly the batch
+    contract of `Trainer(augment_fn=make_dct_detection_augment_v2(...),
+    target_encoder=...)`.  Deterministic per-(seed, epoch) shuffle;
+    `shard_index/shard_count` slice the example space disjointly per host.
+    """
+
+    def __init__(
+        self,
+        dataset: PackedDctDataset,
+        batch_size: int,
+        *,
+        train: bool = True,
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.epoch = 0
+        idx = np.arange(len(dataset))
+        self.indices = idx[shard_index::shard_count]
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        idx = self.indices
+        if self.train:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            idx = rng.permutation(idx)
+            self.epoch += 1
+        n_full = len(idx) // self.batch_size
+        end = n_full * self.batch_size if self.drop_last else len(idx)
+        for s in range(0, end, self.batch_size):
+            take = np.sort(idx[s : s + self.batch_size])
+            yield {
+                "inputs": (
+                    self.ds.y[take].astype(np.float32),
+                    self.ds.cbcr[take].astype(np.float32),
+                ),
+                "gt": self.ds.gt[take],
+                "gt_mask": self.ds.gt_mask[take],
+            }
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Held-out-mAP convergence proxy on structured synthetic VOC data.
+
+The environment has no ImageNet/VOC (PARITY_PLAYBOOK.md), so this is the
+strongest obtainable accuracy evidence: a generated detection corpus with
+REAL signal — per-class shape + texture on cluttered backgrounds — split
+into disjoint train/test, trained with the production `fit()` path and
+scored with the `evaluate`-CLI protocol on the HELD-OUT set.  Unlike the
+round-1 12-noise-image memorization run, a non-trivial held-out mAP here
+requires actual generalization.
+
+Variants (--variant):
+  host    : host Caffe-SSD augmentation chain (SSDDataAugmentation)
+  device  : --device-augment analog (full v2 DCT-domain chain in-step)
+  none    : resize-only (augmentation ablation baseline)
+  rgb     : host chain + RGB VGG16-SSD300 (`ssd300_vgg`) — the DCT-vs-RGB
+            comparison of the reference's README tables
+
+Usage:
+  python scripts/convergence_proxy.py --variant host --steps 3000 \
+      --data-root /tmp/voc_shapes [--platform cpu]
+
+Prints one JSON line per run; aggregate results land in BENCHMARK.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# four visually distinct, texture-coded classes (VOC names so the standard
+# class list applies)
+SHAPE_CLASSES = ["car", "cat", "dog", "person"]
+
+
+def _texture(rng, h, w, kind):
+    """Per-class texture so classification requires appearance, not just
+    shape silhouettes."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == 0:    # horizontal stripes
+        base = ((yy // 4) % 2) * 200.0 + 30
+        col = np.array([1.0, 0.3, 0.3])
+    elif kind == 1:  # vertical stripes
+        base = ((xx // 4) % 2) * 200.0 + 30
+        col = np.array([0.3, 1.0, 0.3])
+    elif kind == 2:  # checkerboard
+        base = (((yy // 5) + (xx // 5)) % 2) * 200.0 + 30
+        col = np.array([0.3, 0.4, 1.0])
+    else:            # diagonal gradient
+        base = 255.0 * ((yy + xx) % 24) / 24.0
+        col = np.array([1.0, 0.9, 0.2])
+    tex = base[..., None] * col[None, None]
+    tex += rng.normal(0, 10, tex.shape)
+    return np.clip(tex, 0, 255)
+
+
+def _draw_shape(img, rng, cls_idx, x0, y0, w, h):
+    """Paint the class texture inside the class silhouette; returns bbox."""
+    tex = _texture(rng, h, w, cls_idx)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    if cls_idx == 0:      # rectangle
+        mask = np.ones((h, w), bool)
+    elif cls_idx == 1:    # ellipse
+        mask = ((yy - cy) / (h / 2)) ** 2 + ((xx - cx) / (w / 2)) ** 2 <= 1.0
+    elif cls_idx == 2:    # triangle
+        mask = (yy / max(h - 1, 1)) >= np.abs(xx - cx) / max(cx, 1)
+    else:                 # diamond
+        mask = (np.abs(yy - cy) / (h / 2) + np.abs(xx - cx) / (w / 2)) <= 1.0
+    region = img[y0 : y0 + h, x0 : x0 + w]
+    region[mask] = tex[mask]
+    return x0, y0, x0 + w, y0 + h
+
+
+def generate_corpus(root: str, n_train=256, n_test=64, size=320, seed=7):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(f"{root}/JPEGImages", exist_ok=True)
+    os.makedirs(f"{root}/Annotations", exist_ok=True)
+    os.makedirs(f"{root}/ImageSets/Main", exist_ok=True)
+    ids = []
+    for i in range(n_train + n_test):
+        iid = f"{i:06d}"
+        ids.append(iid)
+        # cluttered background: smooth noise + random non-class distractors
+        img = rng.normal(120, 30, (size, size, 3))
+        for _ in range(6):  # distractor blobs (solid color, no class texture)
+            bw, bh = rng.integers(10, 40, 2)
+            bx, by = rng.integers(0, size - 40, 2)
+            img[by : by + bh, bx : bx + bw] = rng.integers(0, 255, 3)
+        objs = []
+        for _ in range(int(rng.integers(1, 4))):
+            c = int(rng.integers(0, len(SHAPE_CLASSES)))
+            w = int(rng.integers(48, 160))
+            h = int(rng.integers(48, 160))
+            x0 = int(rng.integers(0, size - w))
+            y0 = int(rng.integers(0, size - h))
+            bbox = _draw_shape(img, rng, c, x0, y0, w, h)
+            objs.append((SHAPE_CLASSES[c], *bbox))
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            f"{root}/JPEGImages/{iid}.jpg", quality=92
+        )
+        xo = "\n".join(
+            f"  <object><name>{c}</name><difficult>0</difficult>"
+            f"<truncated>0</truncated>\n    <bndbox><xmin>{a + 1}</xmin>"
+            f"<ymin>{b + 1}</ymin><xmax>{cc}</xmax><ymax>{dd}</ymax>"
+            f"</bndbox>\n  </object>"
+            for c, a, b, cc, dd in objs
+        )
+        with open(f"{root}/Annotations/{iid}.xml", "w") as f:
+            f.write(
+                f"<annotation>\n  <size><width>{size}</width>"
+                f"<height>{size}</height><depth>3</depth></size>\n{xo}\n"
+                f"</annotation>"
+            )
+    with open(f"{root}/ImageSets/Main/trainval.txt", "w") as f:
+        f.write("\n".join(ids[:n_train]) + "\n")
+    with open(f"{root}/ImageSets/Main/test.txt", "w") as f:
+        f.write("\n".join(ids[n_train:]) + "\n")
+    return root
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="host",
+                   choices=["host", "device", "none", "rgb"])
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--data-root", default="/tmp/voc_shapes")
+    p.add_argument("--n-train", type=int, default=256)
+    p.add_argument("--n-test", type=int, default=64)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--num-workers", type=int, default=12)
+    p.add_argument("--output-dir", default="/tmp/proxy_runs")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if not os.path.exists(f"{args.data_root}/ImageSets/Main/test.txt"):
+        print(f"generating corpus at {args.data_root} ...", flush=True)
+        generate_corpus(args.data_root, args.n_train, args.n_test)
+
+    import jax
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+    from jpeg_detection_resnet_ssd_tpu.data import (
+        DetectionDataset,
+        DetectionPipeline,
+    )
+    from jpeg_detection_resnet_ssd_tpu.data.augment import SSDDataAugmentation
+    from jpeg_detection_resnet_ssd_tpu.eval import DetectionEvaluator
+    from jpeg_detection_resnet_ssd_tpu.models import (
+        build_model,
+        make_inference_fn,
+        ssd_predictor_sizes,
+    )
+    from jpeg_detection_resnet_ssd_tpu.train.config import (
+        ExperimentConfig,
+        create_run_dir,
+    )
+    from jpeg_detection_resnet_ssd_tpu.train.loop import fit
+
+    root = args.data_root
+    ds = DetectionDataset.from_voc(
+        f"{root}/JPEGImages", f"{root}/ImageSets/Main/trainval.txt",
+        f"{root}/Annotations",
+    )
+    model_name = "ssd300_vgg" if args.variant == "rgb" else "ssd300_ssd_custom"
+    input_format = "rgb" if args.variant == "rgb" else "dct"
+    epochs = max(1, args.steps * args.batch_size // max(len(ds), 1) // 4)
+    steps_per_epoch = max(1, args.steps // epochs)
+    config = ExperimentConfig(
+        model=model_name,
+        model_kwargs={"n_classes": 20},
+        task="detection",
+        input_format=input_format,
+        learning_rate=args.lr,
+        batch_size=args.batch_size,
+        epochs=epochs,
+        steps_per_epoch=steps_per_epoch,
+        num_workers=args.num_workers,
+        output_dir=args.output_dir,
+        project=f"proxy_{args.variant}",
+    )
+
+    family = "vgg" if args.variant == "rgb" else "resnet_custom"
+    augment_fn = None
+    if args.variant == "device":
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v2,
+        )
+
+        encoder = TargetEncoder(
+            spec=AnchorSpec(img_height=304, img_width=304),
+            predictor_sizes=ssd_predictor_sizes(family),
+            n_classes=20,
+        )
+        augment_fn = make_dct_detection_augment_v2(out_y_blocks=38)
+        pipe = DetectionPipeline(
+            ds, config.batch_size, train=True, encoder=encoder,
+            augmentation=None, img_height=352, img_width=352,
+            input_format="dct", num_workers=config.num_workers,
+            seed=config.seed, device_encode=True,
+        )
+    else:
+        encoder = TargetEncoder(
+            spec=AnchorSpec(),
+            predictor_sizes=ssd_predictor_sizes(family),
+            n_classes=20,
+        )
+        augmentation = (
+            None if args.variant == "none" else SSDDataAugmentation()
+        )
+        pipe = DetectionPipeline(
+            ds, config.batch_size, train=True, encoder=encoder,
+            augmentation=augmentation, input_format=input_format,
+            num_workers=config.num_workers, seed=config.seed,
+            device_encode=True,
+        )
+
+    run_dir = create_run_dir(config)
+    print(f"run dir: {run_dir}", flush=True)
+    state, history = fit(
+        config, pipe, run_dir=run_dir, max_steps=args.steps,
+        target_encoder=encoder.encode_fn, augment_fn=augment_fn,
+    )
+    final = history[-1] if history else {}
+
+    # held-out evaluation, reference mAP protocol (exact decode)
+    module, _ = build_model(model_name, n_classes=20)
+    test_ds = DetectionDataset.from_voc(
+        f"{root}/JPEGImages", f"{root}/ImageSets/Main/test.txt",
+        f"{root}/Annotations",
+    )
+    eval_pipe = DetectionPipeline(
+        test_ds, 8, train=False, encoder=None, augmentation=None,
+        input_format=input_format, num_workers=4,
+    )
+    decode = make_inference_fn(
+        n_classes=20, spec=AnchorSpec(), candidate_selector="exact"
+    )
+
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+
+    @jax.jit
+    def infer(inputs):
+        return decode(
+            module.apply(
+                {"params": params, "batch_stats": stats}, inputs, train=False
+            ).astype(jax.numpy.float32)
+        )
+
+    from jpeg_detection_resnet_ssd_tpu.data.datasets import VOC_CLASSES
+
+    evaluator = DetectionEvaluator(infer, eval_pipe, n_classes=20)
+    mean_ap, aps, _ = evaluator()
+    out = {
+        "variant": args.variant,
+        "model": model_name,
+        "steps": args.steps,
+        "train_images": len(ds),
+        "test_images": len(test_ds),
+        "final_train_loss": final.get("total_loss"),
+        "heldout_mAP": round(mean_ap, 4),
+        "heldout_AP_nonzero": {
+            VOC_CLASSES[c - 1]: round(aps[c], 4)
+            for c in range(1, 21)
+            if aps[c] > 0
+        },
+        "run_dir": run_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -461,6 +461,65 @@ class TestDeviceDCTAugment:
         )
 
 
+class TestPackedDct:
+    def test_pack_roundtrip_and_pipeline(self, voc_root, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.data.packed import (
+            PackedDctDataset,
+            PackedDctPipeline,
+        )
+
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        stem = str(tmp_path / "packed")
+        packed = PackedDctDataset.create(
+            ds, stem, img_height=352, img_width=352, max_gt=8, num_workers=2
+        )
+        assert len(packed) == len(ds)
+        assert packed.y.shape == (len(ds), 44, 44, 64)
+        assert packed.cbcr.shape == (len(ds), 22, 22, 128)
+        # packed coefficients equal a fresh decode of the same record
+        from jpeg_detection_resnet_ssd_tpu.data import augment as aug2
+        from jpeg_detection_resnet_ssd_tpu.data.dct_convert import (
+            rgb_to_dct_tensors,
+        )
+        from jpeg_detection_resnet_ssd_tpu.data.pipeline import (
+            _load_record_rgb,
+        )
+
+        rec = ds[0]
+        img, _ = aug2.resize(
+            aug2.to_3_channels(_load_record_rgb(rec)), rec["boxes"].copy(),
+            352, 352, filter_degenerate=False,
+        )
+        y_ref, _ = rgb_to_dct_tensors(img)
+        np.testing.assert_array_equal(np.asarray(packed.y[0]), y_ref)
+        # reload from disk
+        again = PackedDctDataset(stem)
+        assert again.gt_mask.sum() == sum(len(r["boxes"]) for r in
+                                          (ds[i] for i in range(len(ds))))
+
+        pipe = PackedDctPipeline(again, 2, train=True, seed=3)
+        b1 = next(iter(pipe))
+        y, cbcr = b1["inputs"]
+        assert y.shape == (2, 44, 44, 64) and y.dtype == np.float32
+        assert b1["gt"].shape == (2, 8, 5) and b1["gt_mask"].shape == (2, 8)
+        # deterministic epoch shuffles: same seed -> same order
+        p2 = PackedDctPipeline(again, 2, train=True, seed=3)
+        np.testing.assert_array_equal(
+            next(iter(p2))["gt"], b1["gt"]
+        )
+        # host sharding is disjoint and covers the corpus
+        s0 = PackedDctPipeline(again, 1, train=False, shard_index=0,
+                               shard_count=2)
+        s1 = PackedDctPipeline(again, 1, train=False, shard_index=1,
+                               shard_count=2)
+        assert len(s0.indices) + len(s1.indices) == len(again)
+        assert set(s0.indices).isdisjoint(s1.indices)
+
+
 def test_rotate_angle_boxes():
     img = np.full((100, 100, 3), 80, np.uint8)
     labels = np.array([[1, 40, 40, 60, 60]], np.float32)
