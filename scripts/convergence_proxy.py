@@ -178,8 +178,11 @@ def main():
     )
     model_name = "ssd300_vgg" if args.variant == "rgb" else "ssd300_ssd_custom"
     input_format = "rgb" if args.variant == "rgb" else "dct"
-    epochs = max(1, args.steps * args.batch_size // max(len(ds), 1) // 4)
-    steps_per_epoch = max(1, args.steps // epochs)
+    # fit()'s inner loop ends when the pipeline's epoch (one corpus pass)
+    # ends, so epochs must be sized for max_steps to be the binding limit.
+    steps_per_pass = max(1, len(ds) // args.batch_size)
+    epochs = -(-args.steps // steps_per_pass)  # ceil
+    steps_per_epoch = steps_per_pass
     config = ExperimentConfig(
         model=model_name,
         model_kwargs={"n_classes": 20},
@@ -197,6 +200,10 @@ def main():
     family = "vgg" if args.variant == "rgb" else "resnet_custom"
     augment_fn = None
     if args.variant == "device":
+        from jpeg_detection_resnet_ssd_tpu.data.packed import (
+            PackedDctDataset,
+            PackedDctPipeline,
+        )
         from jpeg_detection_resnet_ssd_tpu.ops import (
             make_dct_detection_augment_v2,
         )
@@ -207,11 +214,17 @@ def main():
             n_classes=20,
         )
         augment_fn = make_dct_detection_augment_v2(out_y_blocks=38)
-        pipe = DetectionPipeline(
-            ds, config.batch_size, train=True, encoder=encoder,
-            augmentation=None, img_height=352, img_width=352,
-            input_format="dct", num_workers=config.num_workers,
-            seed=config.seed, device_encode=True,
+        # decode-once packed corpus: identical tensors to the host 352px
+        # decode path (tests pin equality), device-bound throughput
+        stem = os.path.join(args.data_root, "packed_352")
+        if not os.path.exists(stem + ".meta.json"):
+            PackedDctDataset.create(
+                ds, stem, img_height=352, img_width=352,
+                num_workers=args.num_workers,
+            )
+        pipe = PackedDctPipeline(
+            PackedDctDataset(stem), config.batch_size, train=True,
+            seed=config.seed,
         )
     else:
         encoder = TargetEncoder(
