@@ -96,18 +96,55 @@ def cmd_train_classify(args):
     import jax
 
     ds = ds.shard(jax.process_index(), jax.process_count())
-    pipe = ClassificationPipeline(
-        ds, config.batch_size, train=True,
-        input_format=config.input_format, num_workers=config.num_workers,
-        seed=config.seed,
-    )
+    augment_fn = None
+    if getattr(args, "device_augment", False) and config.input_format == "dct":
+        # Device-side crop/flip/photometric compiled into the train step;
+        # the host ships oversized 256px coefficient maps (no re-encode).
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_classification_augment,
+        )
+
+        augment_fn = make_dct_classification_augment(out_y_blocks=28)
+        if args.pack_cache:
+            from jpeg_detection_resnet_ssd_tpu.data.packed import (
+                PackedDctDataset,
+                PackedDctPipeline,
+            )
+
+            if not os.path.exists(args.pack_cache + ".meta.json"):
+                print(f"packing DCT corpus -> {args.pack_cache} ...")
+                PackedDctDataset.create_classification(
+                    ds, args.pack_cache, img_size=256,
+                    num_workers=config.num_workers, verbose=True,
+                )
+            pipe = PackedDctPipeline(
+                PackedDctDataset(args.pack_cache), config.batch_size,
+                train=True, seed=config.seed,
+            )
+        else:
+            # host does NO pixel augment (train=False -> deterministic 256px
+            # eval view); epoch shuffling re-enabled, crops happen on device
+            pipe = ClassificationPipeline(
+                ds, config.batch_size, train=False, input_format="dct",
+                image_size=256, num_workers=config.num_workers,
+                seed=config.seed,
+            )
+            pipe.train = True
+    else:
+        pipe = ClassificationPipeline(
+            ds, config.batch_size, train=True,
+            input_format=config.input_format, num_workers=config.num_workers,
+            seed=config.seed,
+        )
     run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}")
-    trainer, module, example_inputs = build_trainer(config)
+    trainer, module, example_inputs = build_trainer(
+        config, augment_fn=augment_fn
+    )
     init_vars = _maybe_import_pretrained(config, trainer, example_inputs)
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.max_steps,
-        init_variables=init_vars, mesh=trainer.mesh,
+        init_variables=init_vars, mesh=trainer.mesh, augment_fn=augment_fn,
     )
     print(json.dumps(history[-1] if history else {}))
 
@@ -520,6 +557,13 @@ def build_parser():
     _add_train_common(tc)
     tc.add_argument("--train-dir", required=True)
     tc.add_argument("--class-index-json", default=None)
+    tc.add_argument("--device-augment", action="store_true",
+                    help="DCT-domain crop/flip/photometric inside the "
+                         "compiled train step (256px host source, 224px "
+                         "device crops; recompression-free)")
+    tc.add_argument("--pack-cache", default=None,
+                    help="with --device-augment: stem path for a decode-once "
+                         "memmapped DCT corpus (created if absent)")
     tc.set_defaults(fn=cmd_train_classify)
 
     td = sub.add_parser("train-detect")

@@ -37,7 +37,10 @@ from jpeg_detection_resnet_ssd_tpu.data.pipeline import _load_record_rgb
 
 
 class PackedDctDataset:
-    """Memmap-backed fixed-frame DCT corpus for the device-augment path."""
+    """Memmap-backed fixed-frame DCT corpus for the device-augment path.
+
+    Detection corpora (via `create`) carry padded GT boxes; classification
+    corpora (via `create_classification`) carry int class labels."""
 
     def __init__(self, stem: str):
         self.stem = stem
@@ -46,12 +49,78 @@ class PackedDctDataset:
         self.y = np.load(stem + ".y.npy", mmap_mode="r")
         self.cbcr = np.load(stem + ".cbcr.npy", mmap_mode="r")
         labels = np.load(stem + ".labels.npz", allow_pickle=False)
-        self.gt = labels["gt"]
-        self.gt_mask = labels["gt_mask"]
+        if "labels" in labels:  # classification corpus
+            self.labels = labels["labels"]
+            self.gt = self.gt_mask = None
+        else:
+            self.gt = labels["gt"]
+            self.gt_mask = labels["gt_mask"]
+            self.labels = None
         self.image_ids = [s for s in labels["image_ids"]]
 
     def __len__(self):
         return self.y.shape[0]
+
+    @classmethod
+    def create_classification(
+        cls,
+        dataset,
+        stem: str,
+        img_size: int = 256,
+        quality: int = 75,
+        num_workers: int = 8,
+        verbose: bool = False,
+    ) -> "PackedDctDataset":
+        """Pack an (image, class-label) dataset (e.g. ImageFolderDataset,
+        records `(path, label)`) at the device-augment SOURCE frame
+        (oversized, e.g. 256 = 32 luma blocks for a 224 crop)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            classification_eval_view,
+        )
+
+        n = len(dataset)
+        s8 = img_size // 8
+        y_arr = np.lib.format.open_memmap(
+            stem + ".y.npy", mode="w+", dtype=np.int16,
+            shape=(n, s8, s8, 64),
+        )
+        c_arr = np.lib.format.open_memmap(
+            stem + ".cbcr.npy", mode="w+", dtype=np.int16,
+            shape=(n, s8 // 2, s8 // 2, 128),
+        )
+        labels = np.zeros((n,), np.int32)
+        image_ids = [""] * n
+
+        def work(i):
+            path, label = dataset[i]
+            from jpeg_detection_resnet_ssd_tpu.data.pipeline import _load_rgb
+
+            image = classification_eval_view(_load_rgb(path), size=img_size)
+            y, cbcr = rgb_to_dct_tensors(image, quality=quality)
+            y_arr[i] = y.astype(np.int16)
+            c_arr[i] = cbcr.astype(np.int16)
+            labels[i] = label
+            image_ids[i] = os.path.basename(path)
+            if verbose and i % 1000 == 0:
+                print(f"pack: {i}/{n}", flush=True)
+
+        with ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(work, range(n)))
+        y_arr.flush()
+        c_arr.flush()
+        np.savez(
+            stem + ".labels.npz", labels=labels,
+            image_ids=np.asarray(image_ids),
+        )
+        with open(stem + ".meta.json", "w") as f:
+            json.dump(
+                {"n": n, "img_size": img_size, "quality": quality,
+                 "task": "classification"},
+                f,
+            )
+        return cls(stem)
 
     @classmethod
     def create(
@@ -163,14 +232,18 @@ class PackedDctPipeline:
         end = n_full * self.batch_size if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
             take = np.sort(idx[s : s + self.batch_size])
-            yield {
+            batch = {
                 "inputs": (
                     self.ds.y[take].astype(np.float32),
                     self.ds.cbcr[take].astype(np.float32),
                 ),
-                "gt": self.ds.gt[take],
-                "gt_mask": self.ds.gt_mask[take],
             }
+            if self.ds.labels is not None:
+                batch["labels"] = self.ds.labels[take]
+            else:
+                batch["gt"] = self.ds.gt[take]
+                batch["gt_mask"] = self.ds.gt_mask[take]
+            yield batch
 
     def __len__(self):
         n = len(self.indices)

@@ -11,6 +11,7 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     dct_random_crop_flip,
     dct_brightness_contrast,
     dct_random_photometric,
+    make_dct_classification_augment,
 )
 from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
     dct_detection_crop_flip,

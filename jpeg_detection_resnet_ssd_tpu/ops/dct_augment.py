@@ -242,6 +242,34 @@ def dct_brightness_contrast(
     return out
 
 
+def make_dct_classification_augment(
+    out_y_blocks: int = 28,
+    photometric: bool = True,
+):
+    """Trainer `augment_fn` for classification: batched random 16px-aligned
+    crop + hflip (+ DCT-domain photometric) compiled into the train step.
+
+    Pairs with an oversized packed corpus (`data.packed.PackedDctDataset.
+    create_classification`, e.g. 256px source -> 224px crops): the complete
+    device-side replacement for the reference's per-image pixel augment +
+    JPEG re-encode loop (`generators.py:145-183`)."""
+
+    def augment(batch, rng):
+        y, cbcr = batch["inputs"]
+        k1, k2 = jax.random.split(rng)
+        y, cbcr = dct_random_crop_flip(
+            y, cbcr, k1,
+            out_y_blocks=out_y_blocks, out_cbcr_blocks=out_y_blocks // 2,
+        )
+        if photometric:
+            y, cbcr = dct_random_photometric(y, cbcr, k2)
+        out = dict(batch)
+        out["inputs"] = (y, cbcr)
+        return out
+
+    return augment
+
+
 def dct_random_photometric(y, cbcr, rng, brightness_range=32.0,
                            contrast_range=(0.5, 1.5), prob=0.5):
     """Batched random brightness+contrast in DCT space (per-image params)."""

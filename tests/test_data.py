@@ -519,6 +519,41 @@ class TestPackedDct:
         assert len(s0.indices) + len(s1.indices) == len(again)
         assert set(s0.indices).isdisjoint(s1.indices)
 
+    def test_classification_pack_and_device_augment(self, imagenet_root,
+                                                    tmp_path):
+        import jax
+
+        from jpeg_detection_resnet_ssd_tpu.data.packed import (
+            PackedDctDataset,
+            PackedDctPipeline,
+        )
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_classification_augment,
+        )
+
+        ds = ImageFolderDataset(imagenet_root)
+        stem = str(tmp_path / "cls_pack")
+        packed = PackedDctDataset.create_classification(
+            ds, stem, img_size=256, num_workers=2
+        )
+        assert packed.y.shape == (len(ds), 32, 32, 64)
+        assert packed.labels.shape == (len(ds),)
+        assert packed.gt is None
+        pipe = PackedDctPipeline(packed, 4, train=True, seed=1)
+        batch = next(iter(pipe))
+        assert batch["labels"].shape == (4,)
+        aug_fn = make_dct_classification_augment(out_y_blocks=28)
+        import jax.numpy as jnp
+
+        out = aug_fn(
+            {"inputs": tuple(jnp.asarray(v) for v in batch["inputs"]),
+             "labels": batch["labels"]},
+            jax.random.PRNGKey(0),
+        )
+        y, cbcr = out["inputs"]
+        assert y.shape == (4, 28, 28, 64) and cbcr.shape == (4, 14, 14, 128)
+        np.testing.assert_array_equal(out["labels"], batch["labels"])
+
 
 def test_rotate_angle_boxes():
     img = np.full((100, 100, 3), 80, np.uint8)
