@@ -119,7 +119,7 @@ def cmd_train_classify(args):
                 )
             pipe = PackedDctPipeline(
                 PackedDctDataset(args.pack_cache), config.batch_size,
-                train=True, seed=config.seed,
+                train=True, seed=config.seed, ship_dtype="int16",
             )
         else:
             # host does NO pixel augment (train=False -> deterministic 256px
@@ -233,7 +233,7 @@ def cmd_train_detect(args):
                 )
             pipe = PackedDctPipeline(
                 PackedDctDataset(args.pack_cache), config.batch_size,
-                train=True, seed=config.seed,
+                train=True, seed=config.seed, ship_dtype="int16",
             )
         else:
             pipe = DetectionPipeline(

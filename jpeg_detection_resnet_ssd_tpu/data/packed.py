@@ -212,6 +212,7 @@ class PackedDctPipeline:
         shard_index: int = 0,
         shard_count: int = 1,
         drop_last: bool = True,
+        ship_dtype=np.float32,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -221,6 +222,10 @@ class PackedDctPipeline:
         idx = np.arange(len(dataset))
         self.indices = idx[shard_index::shard_count]
         self.drop_last = drop_last
+        # ship_dtype=np.int16 halves host->device transfer; the device-side
+        # augment factories cast to f32 inside the compiled step.  Only use
+        # with a Trainer augment_fn (raw int16 into a conv would mispromote).
+        self.ship_dtype = np.dtype(ship_dtype)
 
     def __iter__(self):
         idx = self.indices
@@ -234,8 +239,8 @@ class PackedDctPipeline:
             take = np.sort(idx[s : s + self.batch_size])
             batch = {
                 "inputs": (
-                    self.ds.y[take].astype(np.float32),
-                    self.ds.cbcr[take].astype(np.float32),
+                    np.ascontiguousarray(self.ds.y[take], self.ship_dtype),
+                    np.ascontiguousarray(self.ds.cbcr[take], self.ship_dtype),
                 ),
             }
             if self.ds.labels is not None:

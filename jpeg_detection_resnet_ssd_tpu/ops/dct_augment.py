@@ -256,6 +256,10 @@ def make_dct_classification_augment(
 
     def augment(batch, rng):
         y, cbcr = batch["inputs"]
+        # accept int16-shipped coefficients (data/packed.py ship_dtype):
+        # cast on device, inside the compiled step
+        y = y.astype(jnp.float32)
+        cbcr = cbcr.astype(jnp.float32)
         k1, k2 = jax.random.split(rng)
         y, cbcr = dct_random_crop_flip(
             y, cbcr, k1,

@@ -337,6 +337,10 @@ def make_dct_detection_augment_v2(
 
     def augment(batch, rng):
         y, cbcr = batch["inputs"]
+        # accept int16-shipped coefficients (half the host->device bytes,
+        # data/packed.py ship_dtype): cast on device, inside the step
+        y = y.astype(jnp.float32)
+        cbcr = cbcr.astype(jnp.float32)
         gt, mask = batch["gt"], batch["gt_mask"]
         k1, k2, k3 = jax.random.split(rng, 3)
         if photometric:

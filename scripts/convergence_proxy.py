@@ -224,7 +224,7 @@ def main():
             )
         pipe = PackedDctPipeline(
             PackedDctDataset(stem), config.batch_size, train=True,
-            seed=config.seed,
+            seed=config.seed, ship_dtype="int16",
         )
     else:
         encoder = TargetEncoder(

@@ -554,6 +554,39 @@ class TestPackedDct:
         assert y.shape == (4, 28, 28, 64) and cbcr.shape == (4, 14, 14, 128)
         np.testing.assert_array_equal(out["labels"], batch["labels"])
 
+    def test_int16_shipping_matches_f32(self, imagenet_root, tmp_path):
+        """ship_dtype=int16 halves transfer; device-side cast in the augment
+        factory yields identical results to f32 shipping."""
+        import jax
+        import jax.numpy as jnp
+
+        from jpeg_detection_resnet_ssd_tpu.data.packed import (
+            PackedDctDataset,
+            PackedDctPipeline,
+        )
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_classification_augment,
+        )
+
+        ds = ImageFolderDataset(imagenet_root)
+        stem = str(tmp_path / "cls_pack16")
+        packed = PackedDctDataset.create_classification(
+            ds, stem, img_size=256, num_workers=2
+        )
+        bf = next(iter(PackedDctPipeline(packed, 4, train=True, seed=5)))
+        bi = next(iter(PackedDctPipeline(packed, 4, train=True, seed=5,
+                                         ship_dtype=np.int16)))
+        assert bi["inputs"][0].dtype == np.int16
+        aug_fn = make_dct_classification_augment(out_y_blocks=28)
+        key = jax.random.PRNGKey(2)
+        of = aug_fn({"inputs": tuple(jnp.asarray(v) for v in bf["inputs"]),
+                     "labels": bf["labels"]}, key)
+        oi = aug_fn({"inputs": tuple(jnp.asarray(v) for v in bi["inputs"]),
+                     "labels": bi["labels"]}, key)
+        np.testing.assert_allclose(
+            np.asarray(of["inputs"][0]), np.asarray(oi["inputs"][0])
+        )
+
 
 def test_rotate_angle_boxes():
     img = np.full((100, 100, 3), 80, np.uint8)
