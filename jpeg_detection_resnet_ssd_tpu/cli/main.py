@@ -95,6 +95,7 @@ def cmd_train_classify(args):
     ds = ImageFolderDataset(args.train_dir, args.class_index_json)
     import jax
 
+    full_ds = ds  # unsharded: pack caches must cover the whole corpus
     ds = ds.shard(jax.process_index(), jax.process_count())
     augment_fn = None
     if getattr(args, "device_augment", False) and config.input_format == "dct":
@@ -107,29 +108,28 @@ def cmd_train_classify(args):
         augment_fn = make_dct_classification_augment(out_y_blocks=28)
         if args.pack_cache:
             from jpeg_detection_resnet_ssd_tpu.data.packed import (
-                PackedDctDataset,
                 PackedDctPipeline,
+                load_or_create,
             )
 
-            if not os.path.exists(args.pack_cache + ".meta.json"):
-                print(f"packing DCT corpus -> {args.pack_cache} ...")
-                PackedDctDataset.create_classification(
-                    ds, args.pack_cache, img_size=256,
-                    num_workers=config.num_workers, verbose=True,
-                )
+            packed = load_or_create(
+                args.pack_cache, full_ds, task="classification",
+                img_size=256, num_workers=config.num_workers,
+            )
             pipe = PackedDctPipeline(
-                PackedDctDataset(args.pack_cache), config.batch_size,
+                packed, config.batch_size,
                 train=True, seed=config.seed, ship_dtype="int16",
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
             )
         else:
-            # host does NO pixel augment (train=False -> deterministic 256px
-            # eval view); epoch shuffling re-enabled, crops happen on device
+            # host does NO pixel augment (deterministic 256px eval view);
+            # epoch shuffling stays on, crops/flips happen on device
             pipe = ClassificationPipeline(
-                ds, config.batch_size, train=False, input_format="dct",
-                image_size=256, num_workers=config.num_workers,
-                seed=config.seed,
+                ds, config.batch_size, train=True, host_augment=False,
+                input_format="dct", image_size=256,
+                num_workers=config.num_workers, seed=config.seed,
             )
-            pipe.train = True
     else:
         pipe = ClassificationPipeline(
             ds, config.batch_size, train=True,
@@ -191,6 +191,7 @@ def cmd_train_detect(args):
     )
     import jax
 
+    full_ds = ds  # unsharded: pack caches must cover the whole corpus
     ds = ds.shard(jax.process_index(), jax.process_count())
     encoder = TargetEncoder(
         spec=AnchorSpec(),
@@ -221,19 +222,20 @@ def cmd_train_detect(args):
             # Decode-once corpus: epochs read memmapped coefficient tensors
             # at memory speed instead of re-decoding JPEGs (data/packed.py).
             from jpeg_detection_resnet_ssd_tpu.data.packed import (
-                PackedDctDataset,
                 PackedDctPipeline,
+                load_or_create,
             )
 
-            if not os.path.exists(args.pack_cache + ".meta.json"):
-                print(f"packing DCT corpus -> {args.pack_cache} ...")
-                PackedDctDataset.create(
-                    ds, args.pack_cache, img_height=352, img_width=352,
-                    num_workers=config.num_workers, verbose=True,
-                )
+            packed = load_or_create(
+                args.pack_cache, full_ds, task="detection",
+                img_height=352, img_width=352,
+                num_workers=config.num_workers,
+            )
             pipe = PackedDctPipeline(
-                PackedDctDataset(args.pack_cache), config.batch_size,
+                packed, config.batch_size,
                 train=True, seed=config.seed, ship_dtype="int16",
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
             )
         else:
             pipe = DetectionPipeline(

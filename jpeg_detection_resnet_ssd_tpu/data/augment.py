@@ -532,7 +532,12 @@ class RandomMaxCropFixedAR:
 
 class RandomPadFixedAR:
     """Minimal padding to reach a fixed aspect ratio, image placed at a random
-    position on the canvas (`object_detection_2d_patch_sampling_ops.py:823-881`)."""
+    position on the canvas (`object_detection_2d_patch_sampling_ops.py:823-881`).
+
+    Parity note: the pad axis is chosen by `w < h`, EXACTLY as the reference
+    does (`:865-871`) — which means an AR/orientation mismatch (e.g. w=100,
+    h=80, ar=2.0) yields a patch smaller than the image on one axis (a crop,
+    not a pad), the reference's own behavior for that input."""
 
     def __init__(self, patch_aspect_ratio, background=(0, 0, 0)):
         self.patch_aspect_ratio = patch_aspect_ratio

@@ -193,6 +193,55 @@ class PackedDctDataset:
         return cls(stem)
 
 
+def load_or_create(
+    stem: str,
+    dataset,
+    *,
+    task: str = "detection",
+    num_workers: int = 8,
+    verbose: bool = True,
+    **create_kwargs,
+) -> PackedDctDataset:
+    """Multi-host-safe create-or-load with staleness validation.
+
+    Pass the FULL (unsharded) dataset: only process 0 packs (concurrent
+    writers would corrupt the shared memmaps), other hosts wait at a global
+    sync, and every host validates the loaded corpus against the requested
+    dataset size and pack parameters — a stale cache (different --train-dir,
+    changed frame size/quality) raises instead of silently training on the
+    wrong data.  Per-host sharding belongs at the PIPELINE
+    (`PackedDctPipeline(shard_index=..., shard_count=...)`), never at pack
+    time."""
+    import jax
+
+    if not os.path.exists(stem + ".meta.json"):
+        if jax.process_index() == 0:
+            create = (
+                PackedDctDataset.create_classification
+                if task == "classification"
+                else PackedDctDataset.create
+            )
+            create(dataset, stem, num_workers=num_workers, verbose=verbose,
+                   **create_kwargs)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"pack:{stem}")
+    packed = PackedDctDataset(stem)
+    if len(packed) != len(dataset):
+        raise ValueError(
+            f"pack cache {stem} holds {len(packed)} records but the dataset "
+            f"has {len(dataset)} — stale cache? delete {stem}.* to re-pack"
+        )
+    for k, v in create_kwargs.items():
+        if k in packed.meta and packed.meta[k] != v:
+            raise ValueError(
+                f"pack cache {stem} was built with {k}={packed.meta[k]} but "
+                f"this run wants {k}={v} — delete {stem}.* to re-pack"
+            )
+    return packed
+
+
 class PackedDctPipeline:
     """Batch iterator over a PackedDctDataset: gather + cast, nothing else.
 

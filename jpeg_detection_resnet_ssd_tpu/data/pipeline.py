@@ -126,15 +126,21 @@ class ClassificationPipeline(_BasePipeline):
     """
 
     def __init__(self, dataset, batch_size: int, *, train: bool,
-                 input_format: str = "dct", image_size: int = 224, **kw):
+                 input_format: str = "dct", image_size: int = 224,
+                 host_augment: bool | None = None, **kw):
         super().__init__(dataset, batch_size, train=train,
                          input_format=input_format, **kw)
         self.image_size = image_size
+        # host_augment=False with train=True: epoch shuffling + drop_remainder
+        # stay in training mode but the host emits the deterministic eval view
+        # — the contract of the device-augment paths, where crop/flip/
+        # photometric run on the accelerator instead.
+        self.host_augment = train if host_augment is None else host_augment
 
     def _prepare_item(self, index):
         path, label = self.dataset[int(index)]
         image = _load_rgb(path)
-        if self.train:
+        if self.host_augment:
             image = aug.classification_train_view(
                 image, self._item_rng(index), self.image_size
             )
@@ -288,12 +294,10 @@ class DeviceDCTAugmentedPipeline:
         )
 
         self.inner = ClassificationPipeline(
-            dataset, batch_size, train=False,  # host does NO pixel augment
+            dataset, batch_size, train=train, host_augment=False,
             input_format="dct", image_size=source_size, seed=seed,
             num_workers=num_workers,
         )
-        # re-enable epoch shuffling for training
-        self.inner.train = train
         self.train = train
         self.crop_blocks = crop_blocks
         self.photometric = photometric

@@ -23,6 +23,13 @@ def maybe_initialize_distributed(
     Returns True if distributed mode is active."""
     import jax
 
+    # Re-entrancy: if a launcher (or an earlier call) already initialized the
+    # distributed client, don't try again — initialize() raises on repeat.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
+
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )

@@ -90,7 +90,12 @@ def main():
         "output_first8": out.reshape(-1)[:8].tolist(),
     }
     if args.decode and args.model.startswith("ssd300"):
-        decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+        # bit-parity harness: literal reference semantics, not the faster
+        # shared serving selector
+        decode = make_inference_fn(
+            n_classes=20, spec=AnchorSpec(),
+            candidate_selector="exact", nms_impl="xla",
+        )
         det = np.asarray(decode(out))[0]
         det = det[det[:, 1] > 0.2]
         summary["detections"] = det[:10].tolist()

@@ -554,6 +554,49 @@ class TestPackedDct:
         assert y.shape == (4, 28, 28, 64) and cbcr.shape == (4, 14, 14, 128)
         np.testing.assert_array_equal(out["labels"], batch["labels"])
 
+    def test_load_or_create_validates_staleness(self, voc_root, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.data.packed import load_or_create
+
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        stem = str(tmp_path / "p")
+        packed = load_or_create(stem, ds, task="detection",
+                                img_height=352, img_width=352,
+                                num_workers=2, verbose=False)
+        assert len(packed) == len(ds)
+        # dataset-size mismatch -> explicit error, not silent reuse
+        smaller = ds.shard(0, 2)
+        with pytest.raises(ValueError, match="stale cache"):
+            load_or_create(stem, smaller, task="detection",
+                           img_height=352, img_width=352, num_workers=2)
+        # parameter mismatch -> explicit error
+        with pytest.raises(ValueError, match="re-pack"):
+            load_or_create(stem, ds, task="detection",
+                           img_height=304, img_width=304, num_workers=2)
+
+    def test_host_augment_flag_disables_pixel_augment(self, imagenet_root):
+        """train=True + host_augment=False: shuffling/drop_remainder stay in
+        training mode but the host emits the deterministic eval view (the
+        device-augment contract; double augmentation was a real bug)."""
+        ds = ImageFolderDataset(imagenet_root)
+        a = ClassificationPipeline(ds, 4, train=True, host_augment=False,
+                                   input_format="rgb", image_size=64,
+                                   num_workers=2, seed=0)
+        b = ClassificationPipeline(ds, 4, train=False,
+                                   input_format="rgb", image_size=64,
+                                   num_workers=2, seed=0)
+        assert a.drop_remainder and not b.drop_remainder
+        ia = next(iter(a))
+        # same items as the eval view, modulo shuffling: compare per-image
+        # content sets
+        eval_imgs = {img.tobytes() for batch in b
+                     for img in np.asarray(batch["inputs"], np.uint8)}
+        for img in np.asarray(ia["inputs"], np.uint8):
+            assert img.tobytes() in eval_imgs
+
     def test_int16_shipping_matches_f32(self, imagenet_root, tmp_path):
         """ship_dtype=int16 halves transfer; device-side cast in the augment
         factory yields identical results to f32 shipping."""
