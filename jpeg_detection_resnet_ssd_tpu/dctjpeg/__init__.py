@@ -77,6 +77,18 @@ def _get_lib():
         lib.dctjpeg_decode.restype = ctypes.c_int
         lib.dctjpeg_release.argtypes = [ctypes.POINTER(_DctDecoded)]
         lib.dctjpeg_release.restype = None
+        lib.dctjpeg_pack.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        lib.dctjpeg_pack.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -179,3 +191,33 @@ def decode_dct_image(buf_or_path, crop_hw: tuple[int, int] | None = None):
     if crop_hw is not None:
         img = img[: crop_hw[0], : crop_hw[1]]
     return img
+
+
+def pack(buf_or_path, out_h: int, out_w: int, quality: int = 75):
+    """Fully native pack step: JPEG -> decode -> half-pixel bilinear resize to
+    (out_h, out_w) -> 4:2:0 re-encode at `quality` -> dequantized coefficients.
+
+    Returns (y (out_h/8, out_w/8, 64) int16, cbcr (out_h/16, out_w/16, 128)
+    int16).  The C++ hot loop of `data.packed.PackedDctDataset.create`
+    (replaces PIL decode + cv2 resize + PIL encode + coefficient decode per
+    image); ctypes releases the GIL so a thread pool scales it across cores.
+    out_h/out_w must be multiples of 16.
+    """
+    if isinstance(buf_or_path, (str, os.PathLike)):
+        with open(buf_or_path, "rb") as f:
+            buf = f.read()
+    else:
+        buf = bytes(buf_or_path)
+    lib = _get_lib()
+    y = np.empty((out_h // 8, out_w // 8, 64), dtype=np.int16)
+    cbcr = np.empty((out_h // 16, out_w // 16, 128), dtype=np.int16)
+    err = ctypes.create_string_buffer(200)
+    rc = lib.dctjpeg_pack(
+        buf, len(buf), out_h, out_w, quality,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        cbcr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        err, ctypes.sizeof(err),
+    )
+    if rc != 0:
+        raise JPEGDecodeError(err.value.decode(errors="replace"))
+    return y, cbcr

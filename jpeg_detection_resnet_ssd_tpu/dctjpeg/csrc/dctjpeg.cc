@@ -168,4 +168,239 @@ void dctjpeg_release(DctDecoded* out) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Native corpus packing: JPEG bytes -> decode -> bilinear resize ->
+// re-encode (4:2:0) -> coefficient decode, entirely in C++.
+//
+// Role: the hot loop of the decode-once packed-corpus builder
+// (data/packed.py) and, by extension, the reference's whole per-image
+// Python/PIL decode->augment->re-encode loop (`generators.py:141-194`).
+// ctypes releases the GIL for the call's duration, so a Python thread pool
+// scales this across all cores.  Output layout matches
+// `data.dct_convert.rgb_to_dct_tensors`: Y (out_h/8, out_w/8, 64) int16 and
+// stacked CbCr (out_h/16, out_w/16, 128) int16, dequantized.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Full decode to interleaved RGB8.  Returns malloc'd buffer (h*w*3) or null.
+uint8_t* decode_rgb(const uint8_t* data, size_t size, int* h, int* w,
+                    char* err, size_t err_len) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  jerr.message[0] = '\0';
+  uint8_t* rgb = nullptr;
+
+  if (setjmp(jerr.setjmp_buffer)) {
+    snprintf(err, err_len, "%s", jerr.message);
+    jpeg_destroy_decompress(&cinfo);
+    free(rgb);
+    return nullptr;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // libjpeg converts gray/YCbCr to RGB
+  jpeg_start_decompress(&cinfo);
+  *h = static_cast<int>(cinfo.output_height);
+  *w = static_cast<int>(cinfo.output_width);
+  rgb = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(*h) * *w * 3));
+  if (rgb == nullptr) {
+    snprintf(err, err_len, "out of memory");
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = rgb + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return rgb;
+}
+
+// Half-pixel-center bilinear resize (cv2.INTER_LINEAR convention).
+// Row pass: horizontal lerp of the two source rows into float scratch,
+// then one vertical lerp — with per-column offsets/weights precomputed, the
+// inner loops vectorize.
+void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                     int dh, int dw) {
+  const float sy_scale = static_cast<float>(sh) / dh;
+  const float sx_scale = static_cast<float>(sw) / dw;
+
+  int* x0s = static_cast<int*>(malloc(sizeof(int) * dw));
+  int* x1s = static_cast<int*>(malloc(sizeof(int) * dw));
+  float* wxs = static_cast<float*>(malloc(sizeof(float) * dw));
+  float* row0 = static_cast<float*>(malloc(sizeof(float) * dw * 3));
+  float* row1 = static_cast<float*>(malloc(sizeof(float) * dw * 3));
+  for (int ox = 0; ox < dw; ++ox) {
+    float fx = (ox + 0.5f) * sx_scale - 0.5f;
+    if (fx < 0) fx = 0;
+    int x0 = static_cast<int>(fx);
+    if (x0 > sw - 1) x0 = sw - 1;
+    x0s[ox] = x0;
+    x1s[ox] = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    wxs[ox] = fx - x0;
+  }
+
+  int cached_y0 = -1, cached_y1 = -1;
+  for (int oy = 0; oy < dh; ++oy) {
+    float fy = (oy + 0.5f) * sy_scale - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    if (y0 > sh - 1) y0 = sh - 1;
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    float wy = fy - y0;
+
+    if (y0 != cached_y0) {
+      const uint8_t* s = src + static_cast<size_t>(y0) * sw * 3;
+      for (int ox = 0; ox < dw; ++ox) {
+        const uint8_t* a = s + x0s[ox] * 3;
+        const uint8_t* b = s + x1s[ox] * 3;
+        const float wx = wxs[ox];
+        row0[ox * 3 + 0] = a[0] + wx * (b[0] - a[0]);
+        row0[ox * 3 + 1] = a[1] + wx * (b[1] - a[1]);
+        row0[ox * 3 + 2] = a[2] + wx * (b[2] - a[2]);
+      }
+      cached_y0 = y0;
+    }
+    if (y1 != cached_y1) {
+      const uint8_t* s = src + static_cast<size_t>(y1) * sw * 3;
+      for (int ox = 0; ox < dw; ++ox) {
+        const uint8_t* a = s + x0s[ox] * 3;
+        const uint8_t* b = s + x1s[ox] * 3;
+        const float wx = wxs[ox];
+        row1[ox * 3 + 0] = a[0] + wx * (b[0] - a[0]);
+        row1[ox * 3 + 1] = a[1] + wx * (b[1] - a[1]);
+        row1[ox * 3 + 2] = a[2] + wx * (b[2] - a[2]);
+      }
+      cached_y1 = y1;
+    }
+    uint8_t* o = dst + static_cast<size_t>(oy) * dw * 3;
+    for (int i = 0; i < dw * 3; ++i) {
+      o[i] = static_cast<uint8_t>(row0[i] + wy * (row1[i] - row0[i]) + 0.5f);
+    }
+  }
+  free(x0s);
+  free(x1s);
+  free(wxs);
+  free(row0);
+  free(row1);
+}
+
+// Encode interleaved RGB8 to an in-memory JPEG (4:2:0, given quality).
+// Returns 0 on success; *out_buf is libjpeg-malloc'd, caller frees.
+int encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
+                unsigned char** out_buf, unsigned long* out_size,
+                char* err, size_t err_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  jerr.message[0] = '\0';
+
+  if (setjmp(jerr.setjmp_buffer)) {
+    snprintf(err, err_len, "%s", jerr.message);
+    jpeg_destroy_compress(&cinfo);
+    return 1;
+  }
+
+  jpeg_create_compress(&cinfo);
+  *out_buf = nullptr;
+  *out_size = 0;
+  jpeg_mem_dest(&cinfo, out_buf, out_size);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);  // default sampling = 2x2,1x1,1x1 (4:2:0)
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(
+        rgb + static_cast<size_t>(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+
+}  // namespace
+
+// JPEG bytes -> resized (out_h, out_w) -> 4:2:0 re-encode at `quality` ->
+// dequantized coefficients.  out_y: (out_h/8)*(out_w/8)*64 int16;
+// out_cbcr: (out_h/16)*(out_w/16)*128 int16 (Cb channels 0-63, Cr 64-127).
+// out_h/out_w must be multiples of 16.  Returns 0 on success.
+int dctjpeg_pack(const uint8_t* data, size_t size, int out_h, int out_w,
+                 int quality, int16_t* out_y, int16_t* out_cbcr,
+                 char* err, size_t err_len) {
+  if (out_h % 16 || out_w % 16) {
+    snprintf(err, err_len, "out dims must be multiples of 16");
+    return 1;
+  }
+  int sh = 0, sw = 0;
+  uint8_t* rgb = decode_rgb(data, size, &sh, &sw, err, err_len);
+  if (rgb == nullptr) return 1;
+
+  uint8_t* resized = rgb;
+  if (sh != out_h || sw != out_w) {
+    resized = static_cast<uint8_t*>(
+        malloc(static_cast<size_t>(out_h) * out_w * 3));
+    if (resized == nullptr) {
+      snprintf(err, err_len, "out of memory");
+      free(rgb);
+      return 1;
+    }
+    resize_bilinear(rgb, sh, sw, resized, out_h, out_w);
+    free(rgb);
+  }
+
+  unsigned char* jbuf = nullptr;
+  unsigned long jsize = 0;
+  int rc = encode_jpeg(resized, out_h, out_w, quality, &jbuf, &jsize,
+                       err, err_len);
+  free(resized);  // == rgb when no resize happened; rgb freed otherwise
+  if (rc != 0) {
+    free(jbuf);
+    return 1;
+  }
+
+  DctDecoded dec;
+  rc = dctjpeg_decode(jbuf, jsize, 1, &dec);
+  free(jbuf);
+  if (rc != 0) {
+    snprintf(err, err_len, "%s", dec.error);
+    return 1;
+  }
+  if (dec.n_components < 3) {
+    snprintf(err, err_len, "re-encoded JPEG lost components");
+    dctjpeg_release(&dec);
+    return 1;
+  }
+  const int yb = dec.h_blocks[0] * dec.w_blocks[0];
+  for (int i = 0; i < yb * DCTSIZE2; ++i) {
+    out_y[i] = static_cast<int16_t>(dec.coeffs[0][i]);
+  }
+  const int cb = dec.h_blocks[1] * dec.w_blocks[1];
+  for (int b = 0; b < cb; ++b) {
+    int16_t* o = out_cbcr + static_cast<size_t>(b) * 2 * DCTSIZE2;
+    const int32_t* src_cb = dec.coeffs[1] + static_cast<size_t>(b) * DCTSIZE2;
+    const int32_t* src_cr = dec.coeffs[2] + static_cast<size_t>(b) * DCTSIZE2;
+    for (int k = 0; k < DCTSIZE2; ++k) {
+      o[k] = static_cast<int16_t>(src_cb[k]);
+      o[DCTSIZE2 + k] = static_cast<int16_t>(src_cr[k]);
+    }
+  }
+  dctjpeg_release(&dec);
+  return 0;
+}
+
 }  // extern "C"

@@ -110,6 +110,7 @@ def fit(
     log_every: int = 50,
     target_encoder=None,
     augment_fn=None,
+    save_every: int = 1,
 ) -> tuple[Any, list[dict]]:
     """Train per `config`; returns (final TrainState, history of epoch rows)."""
     trainer, module, example_inputs = build_trainer(
@@ -198,7 +199,16 @@ def fit(
                 )
             history.append(row)
             writer.log(row, step=int(state.step))
-            if ckpt is not None:
+            # save_every > 1: checkpoint every Nth epoch plus the last one —
+            # a full-state orbax save costs a device->host round trip of all
+            # params + opt state, which dominates wall clock when epochs are
+            # short (small corpora / tunneled devices).
+            is_last = (epoch == config.epochs - 1) or (
+                max_steps and steps_done >= max_steps
+            )
+            if ckpt is not None and (
+                (epoch + 1) % max(save_every, 1) == 0 or is_last
+            ):
                 ckpt.save(int(state.step), state, metrics=None)
             if max_steps and steps_done >= max_steps:
                 break

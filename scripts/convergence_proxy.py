@@ -247,6 +247,7 @@ def main():
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.steps,
         target_encoder=encoder.encode_fn, augment_fn=augment_fn,
+        save_every=50,  # tiny epochs: per-epoch orbax saves dominate wall
     )
     final = history[-1] if history else {}
 
