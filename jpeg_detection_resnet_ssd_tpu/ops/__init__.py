@@ -17,7 +17,14 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
     dct_detection_crop_flip,
     dct_detection_expand,
     dct_detection_min_iou_crop_flip,
+    dct_detection_random_resized_crop,
     make_dct_detection_augment,
     make_dct_detection_augment_v2,
+    make_dct_detection_augment_v3,
+)
+from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import (
+    dct_crop_resize,
+    dct_resample,
+    interp_matrix,
 )
 from jpeg_detection_resnet_ssd_tpu.ops.pallas_nms import pallas_batched_nms_mask

@@ -311,6 +311,194 @@ def make_dct_detection_augment(out_y_blocks: int = 38):
     return augment
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_y_blocks", "n_trials", "expand_prob", "expand_max",
+        "scale_min", "scale_max", "background",
+    ),
+)
+def dct_detection_random_resized_crop(
+    y: jax.Array,
+    cbcr: jax.Array,
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    rng: jax.Array,
+    out_y_blocks: int = 38,
+    n_trials: int = 8,
+    expand_prob: float = 0.5,
+    expand_max: float = 4.0,
+    scale_min: float = 0.3,
+    scale_max: float = 1.0,
+    background=(123, 117, 104),
+):
+    """CONTINUOUS-scale expand + min-IoU crop + resize, fully on device.
+
+    The complete scale semantics of the reference chain
+    (`data_augmentation_chain_original_ssd.py:29-144`): with p=`expand_prob`
+    the image is placed at a random offset on a U(1, expand_max)-times
+    background canvas, then `n_trials` candidate patches with per-dimension
+    scales U(scale_min, scale_max) of the canvas and aspect ratio in
+    [0.5, 2] are scored against a min-IoU bound sampled from
+    {none, .1, .3, .5, .7, .9}; the first satisfying candidate (else the
+    highest-IoU one) is cropped AND resized to the fixed output frame in one
+    linear DCT-domain op (`ops.dct_resize.dct_crop_resize` — exactly
+    pixel-domain bilinear, no recompression, ~1.5% of the forward FLOPs).
+    Unlike `dct_detection_min_iou_crop_flip` there is no block-alignment or
+    fixed-crop-scale restriction — this closes the measured scale-
+    distribution gap vs the host chain (BENCHMARK.md round-2 proxy A/B).
+
+    Expand and crop compose WITHOUT materializing the canvas: a crop rect in
+    canvas coordinates maps back to source coordinates by subtracting the
+    placement offset, and out-of-source regions decode to the background
+    color via the resample's residual mass.
+
+    Returns (y_out, cbcr_out, gt_out, mask_out); gt in output-frame pixels.
+    """
+    B, H8, W8, _ = y.shape
+    H, W = jnp.float32(H8 * 8), jnp.float32(W8 * 8)
+    out_px = out_y_blocks * 8
+    dc_y, dc_cb, dc_cr = _rgb_to_ycbcr_dc(background)
+    # dct_crop_resize wants level-shifted pixel values (DC / 8)
+    bg_y, bg_cb, bg_cr = dc_y / 8.0, dc_cb / 8.0, dc_cr / 8.0
+
+    keys = jax.random.split(rng, 9)
+    do_exp = jax.random.bernoulli(keys[0], expand_prob, (B,))
+    f = jnp.where(
+        do_exp, jax.random.uniform(keys[1], (B,), minval=1.0,
+                                   maxval=expand_max), 1.0
+    )
+    ch_canvas = f * H
+    cw_canvas = f * W
+    py = jax.random.uniform(keys[2], (B,)) * (ch_canvas - H)
+    px = jax.random.uniform(keys[3], (B,)) * (cw_canvas - W)
+
+    bounds = _IOU_BOUNDS[
+        jax.random.randint(keys[4], (B,), 0, _IOU_BOUNDS.shape[0])
+    ]
+    s_h = jax.random.uniform(keys[5], (B, n_trials), minval=scale_min,
+                             maxval=scale_max)
+    s_w = jax.random.uniform(keys[6], (B, n_trials), minval=scale_min,
+                             maxval=scale_max)
+    u_y = jax.random.uniform(keys[7], (B, n_trials, 2))
+    flip = jax.random.bernoulli(keys[8], 0.5, (B,))
+
+    def choose_one(s_h_t, s_w_t, u_t, bound, chc, cwc, py_i, px_i,
+                   gt_i, mask_i):
+        ph = s_h_t * chc
+        pw = s_w_t * cwc
+        ar_ok = (pw / ph >= 0.5) & (pw / ph <= 2.0)
+        cy0 = u_t[:, 0] * (chc - ph) - py_i  # in SOURCE coords
+        cx0 = u_t[:, 1] * (cwc - pw) - px_i
+
+        def patch_iou(yy0, xx0, hh, ww):
+            ix = jnp.maximum(
+                0.0,
+                jnp.minimum(xx0 + ww, gt_i[:, 3]) - jnp.maximum(xx0, gt_i[:, 1]),
+            )
+            iy = jnp.maximum(
+                0.0,
+                jnp.minimum(yy0 + hh, gt_i[:, 4]) - jnp.maximum(yy0, gt_i[:, 2]),
+            )
+            inter = ix * iy
+            a_b = (gt_i[:, 3] - gt_i[:, 1]) * (gt_i[:, 4] - gt_i[:, 2])
+            union = hh * ww + a_b - inter
+            iou = jnp.where((union > 0) & mask_i, inter / union, 0.0)
+            return jnp.max(iou, initial=0.0)
+
+        ious = jax.vmap(patch_iou)(cy0, cx0, ph, pw)
+        ok = ar_ok & (
+            (ious >= bound) | (bound < 0.0) | ~jnp.any(mask_i)
+        )
+        first_ok = jnp.argmax(ok)
+        best = jnp.argmax(jnp.where(ar_ok, ious, -1.0))
+        pick = jnp.where(jnp.any(ok), first_ok, best)
+        return cy0[pick], cx0[pick], ph[pick], pw[pick]
+
+    ry0, rx0, ph, pw = jax.vmap(choose_one)(
+        s_h, s_w, u_y, bounds, ch_canvas, cw_canvas, py, px, gt, gt_mask
+    )
+
+    from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import dct_crop_resize
+
+    def one(y_i, c_i, ry, rx, hh, ww, fl, gt_i, mask_i):
+        y_out = dct_crop_resize(
+            y_i, ry, rx, hh, ww, out_px, out_px, background=bg_y
+        )
+        c_out = dct_crop_resize(
+            c_i, ry / 2.0, rx / 2.0, hh / 2.0, ww / 2.0,
+            out_px // 2, out_px // 2,
+            background=jnp.asarray([bg_cb, bg_cr], jnp.float32),
+        )
+        y_out = jnp.where(fl, _flip_h_jnp(y_out), y_out)
+        c_out = jnp.where(fl, _flip_h_jnp(c_out), c_out)
+
+        sx = out_px / ww
+        sy = out_px / hh
+        xmin = (gt_i[:, 1] - rx) * sx
+        ymin = (gt_i[:, 2] - ry) * sy
+        xmax = (gt_i[:, 3] - rx) * sx
+        ymax = (gt_i[:, 4] - ry) * sy
+        fxmin = jnp.where(fl, out_px - xmax, xmin)
+        fxmax = jnp.where(fl, out_px - xmin, xmax)
+        xmin, xmax = fxmin, fxmax
+        cx = (xmin + xmax) / 2.0
+        cy = (ymin + ymax) / 2.0
+        inside = (cx >= 0) & (cx < out_px) & (cy >= 0) & (cy < out_px)
+        new_mask = mask_i & inside
+        xmin = jnp.clip(xmin, 0.0, out_px - 1.0)
+        xmax = jnp.clip(xmax, 0.0, out_px - 1.0)
+        ymin = jnp.clip(ymin, 0.0, out_px - 1.0)
+        ymax = jnp.clip(ymax, 0.0, out_px - 1.0)
+        new_mask = new_mask & (xmax > xmin) & (ymax > ymin)
+        new_gt = jnp.stack(
+            [gt_i[:, 0], xmin, ymin, xmax, ymax], axis=-1
+        )
+        new_gt = jnp.where(new_mask[:, None], new_gt, 0.0)
+        return y_out, c_out, new_gt, new_mask
+
+    return jax.vmap(one)(y, cbcr, ry0, rx0, ph, pw, flip, gt, gt_mask)
+
+
+def make_dct_detection_augment_v3(
+    out_y_blocks: int = 38,
+    n_trials: int = 8,
+    expand_prob: float = 0.5,
+    expand_max: float = 4.0,
+    scale_range=(0.3, 1.0),
+    photometric: bool = True,
+    background=(123, 117, 104),
+):
+    """Device-side SSD augmentation with FULL continuous scale semantics:
+    photometric -> [expand U(1,4) + min-IoU crop U(0.3,1) + bilinear resize,
+    one linear DCT op] -> hflip.  See `dct_detection_random_resized_crop`."""
+    from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
+        dct_random_photometric,
+    )
+
+    def augment(batch, rng):
+        y, cbcr = batch["inputs"]
+        y = y.astype(jnp.float32)
+        cbcr = cbcr.astype(jnp.float32)
+        gt, mask = batch["gt"], batch["gt_mask"]
+        k1, k2 = jax.random.split(rng)
+        if photometric:
+            y, cbcr = dct_random_photometric(y, cbcr, k1)
+        y, cbcr, gt, mask = dct_detection_random_resized_crop(
+            y, cbcr, gt, mask, k2,
+            out_y_blocks=out_y_blocks, n_trials=n_trials,
+            expand_prob=expand_prob, expand_max=expand_max,
+            scale_min=scale_range[0], scale_max=scale_range[1],
+            background=background,
+        )
+        out = dict(batch)
+        out["inputs"] = (y, cbcr)
+        out["gt"], out["gt_mask"] = gt, mask
+        return out
+
+    return augment
+
+
 def make_dct_detection_augment_v2(
     out_y_blocks: int = 38,
     expand_prob: float = 0.5,

@@ -130,7 +130,7 @@ def generate_corpus(root: str, n_train=256, n_test=64, size=320, seed=7):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="host",
-                   choices=["host", "device", "none", "rgb"])
+                   choices=["host", "device", "device_v3", "none", "rgb"])
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -178,6 +178,7 @@ def main():
     )
     model_name = "ssd300_vgg" if args.variant == "rgb" else "ssd300_ssd_custom"
     input_format = "rgb" if args.variant == "rgb" else "dct"
+    device_variant = args.variant in ("device", "device_v3")
     # fit()'s inner loop ends when the pipeline's epoch (one corpus pass)
     # ends, so epochs must be sized for max_steps to be the binding limit.
     steps_per_pass = max(1, len(ds) // args.batch_size)
@@ -199,13 +200,14 @@ def main():
 
     family = "vgg" if args.variant == "rgb" else "resnet_custom"
     augment_fn = None
-    if args.variant == "device":
+    if device_variant:
         from jpeg_detection_resnet_ssd_tpu.data.packed import (
             PackedDctDataset,
             PackedDctPipeline,
         )
         from jpeg_detection_resnet_ssd_tpu.ops import (
             make_dct_detection_augment_v2,
+            make_dct_detection_augment_v3,
         )
 
         encoder = TargetEncoder(
@@ -213,7 +215,11 @@ def main():
             predictor_sizes=ssd_predictor_sizes(family),
             n_classes=20,
         )
-        augment_fn = make_dct_detection_augment_v2(out_y_blocks=38)
+        if args.variant == "device_v3":
+            # continuous-scale expand/crop/resize (closes the scale gap)
+            augment_fn = make_dct_detection_augment_v3(out_y_blocks=38)
+        else:
+            augment_fn = make_dct_detection_augment_v2(out_y_blocks=38)
         # decode-once packed corpus: identical tensors to the host 352px
         # decode path (tests pin equality), device-bound throughput
         stem = os.path.join(args.data_root, "packed_352")

@@ -372,6 +372,153 @@ class TestDCTDetectionExpand:
         np.testing.assert_allclose(np.asarray(g), gt)
 
 
+class TestDctCropResize:
+    def _np_interp(self, src, dst, start, length):
+        o = np.arange(dst)
+        s = start + (o + 0.5) * (length / dst) - 0.5
+        i0 = np.floor(s)
+        w1 = s - i0
+        W = np.zeros((dst, src))
+        for oo in range(dst):
+            a = int(i0[oo])
+            if 0 <= a < src:
+                W[oo, a] = 1 - w1[oo]
+            if 0 <= a + 1 < src:
+                W[oo, a + 1] = w1[oo]
+        return W
+
+    def test_interior_crop_matches_pixel_bilinear(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        blocks = rng.normal(0, 50, (6, 6, 64)).astype(np.float32)
+        P = blocks_to_pixels(blocks) - 128.0
+        y0, x0, ch, cw = 5.3, 7.1, 30.2, 28.9
+        out = np.asarray(
+            dct_crop_resize(jnp.asarray(blocks), y0, x0, ch, cw, 32, 32)
+        )
+        Wy = self._np_interp(48, 32, y0, ch)
+        Wx = self._np_interp(48, 32, x0, cw)
+        np.testing.assert_allclose(
+            blocks_to_pixels(out) - 128.0, Wy @ P @ Wx.T, atol=1e-2
+        )
+
+    def test_oob_crop_fills_background(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        blocks = rng.normal(0, 50, (6, 6, 64)).astype(np.float32)
+        P = blocks_to_pixels(blocks) - 128.0
+        y0, x0, ch, cw, bg = -10.0, 30.0, 60.0, 40.0, -12.0
+        out = np.asarray(
+            dct_crop_resize(
+                jnp.asarray(blocks), y0, x0, ch, cw, 32, 32, background=bg
+            )
+        )
+        Wy = self._np_interp(48, 32, y0, ch)
+        Wx = self._np_interp(48, 32, x0, cw)
+        ry, rx = 1 - Wy.sum(1), 1 - Wx.sum(1)
+        expect = Wy @ P @ Wx.T + bg * (1 - np.outer(1 - ry, 1 - rx))
+        np.testing.assert_allclose(
+            blocks_to_pixels(out) - 128.0, expect, atol=1e-2
+        )
+
+    def test_identity(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        blocks = rng.normal(0, 50, (5, 5, 128)).astype(np.float32)
+        out = np.asarray(
+            dct_crop_resize(jnp.asarray(blocks), 0.0, 0.0, 40.0, 40.0, 40, 40)
+        )
+        np.testing.assert_allclose(out, blocks, atol=1e-3)
+
+    def test_per_group_background(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        blocks = np.zeros((4, 4, 128), np.float32)
+        out = np.asarray(
+            dct_crop_resize(
+                jnp.asarray(blocks), -100.0, -100.0, 32.0, 32.0, 32, 32,
+                background=jnp.asarray([-5.0, 9.0]),
+            )
+        )
+        # fully out of bounds: each group decodes to its own constant
+        cb = blocks_to_pixels(out[..., :64]) - 128.0
+        cr = blocks_to_pixels(out[..., 64:]) - 128.0
+        np.testing.assert_allclose(cb, -5.0, atol=1e-3)
+        np.testing.assert_allclose(cr, 9.0, atol=1e-3)
+
+
+class TestRandomResizedCrop:
+    def test_v3_shapes_boxes_and_scale_diversity(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            dct_detection_random_resized_crop,
+        )
+
+        B, H8 = 12, 44
+        y = rng.normal(0, 50, (B, H8, H8, 64)).astype(np.float32)
+        cbcr = rng.normal(0, 20, (B, H8 // 2, H8 // 2, 128)).astype(np.float32)
+        gt = np.zeros((B, 4, 5), np.float32)
+        gt[:, 0] = [3, 120, 130, 240, 250]
+        mask = np.zeros((B, 4), bool)
+        mask[:, 0] = True
+        yo, co, g, m = dct_detection_random_resized_crop(
+            jnp.asarray(y), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(0),
+        )
+        yo, co, g, m = map(np.asarray, (yo, co, g, m))
+        assert yo.shape == (B, 38, 38, 64) and co.shape == (B, 19, 19, 128)
+        widths = []
+        for b in range(B):
+            if m[b, 0]:
+                r = g[b, 0]
+                assert 0 <= r[1] < r[3] <= 304 and 0 <= r[2] < r[4] <= 304
+                widths.append(r[3] - r[1])
+        # continuous rescaling: surviving box widths take diverse values
+        # (block-aligned crops would keep the width constant at 120*304/352)
+        assert len(widths) >= 4
+        assert np.std(widths) > 5.0
+
+    def test_v3_gt_box_tracks_pixel_content(self, rng):
+        """The rewritten GT box lands on the same image content: paint a
+        bright square at the GT location, augment, and check brightness
+        inside the new box exceeds outside."""
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            dct_detection_random_resized_crop,
+        )
+        from jpeg_detection_resnet_ssd_tpu.ops.block_dct import dct2_8x8
+
+        B, H8 = 6, 44
+        px = np.full((H8 * 8, H8 * 8), -100.0, np.float32)
+        px[130:250, 120:240] = 110.0  # bright box at (x 120-240, y 130-250)
+        blocks = np.asarray(
+            dct2_8x8(
+                jnp.asarray(
+                    px.reshape(H8, 8, H8, 8).transpose(0, 2, 1, 3)
+                )
+            )
+        )
+        y = np.tile(blocks[None], (B, 1, 1, 1))
+        cbcr = np.zeros((B, H8 // 2, H8 // 2, 128), np.float32)
+        gt = np.zeros((B, 2, 5), np.float32)
+        gt[:, 0] = [5, 120, 130, 240, 250]
+        mask = np.zeros((B, 2), bool)
+        mask[:, 0] = True
+        yo, _, g, m = dct_detection_random_resized_crop(
+            jnp.asarray(y), jnp.asarray(cbcr), jnp.asarray(gt),
+            jnp.asarray(mask), jax.random.PRNGKey(3),
+            expand_prob=0.5,
+        )
+        yo, g, m = map(np.asarray, (yo, g, m))
+        for b in range(B):
+            if not m[b, 0]:
+                continue
+            pix = blocks_to_pixels(yo[b]) - 128.0
+            x0, y0, x1, y1 = (int(v) for v in g[b, 0, 1:])
+            if x1 - x0 < 16 or y1 - y0 < 16:
+                continue
+            inner = pix[y0 + 4 : y1 - 4, x0 + 4 : x1 - 4].mean()
+            assert inner > 30.0, f"image {b}: inner mean {inner}"
+
+
 class TestMinIoUCrop:
     def test_min_iou_crop_respects_bound_or_fallback(self, rng):
         from jpeg_detection_resnet_ssd_tpu.ops import (
