@@ -315,7 +315,7 @@ def make_dct_detection_augment(out_y_blocks: int = 38):
     jax.jit,
     static_argnames=(
         "out_y_blocks", "n_trials", "expand_prob", "expand_max",
-        "scale_min", "scale_max", "background",
+        "scale_min", "scale_max", "identity_prob", "background",
     ),
 )
 def dct_detection_random_resized_crop(
@@ -330,6 +330,7 @@ def dct_detection_random_resized_crop(
     expand_max: float = 4.0,
     scale_min: float = 0.3,
     scale_max: float = 1.0,
+    identity_prob: float = 0.3,
     background=(123, 117, 104),
 ):
     """CONTINUOUS-scale expand + min-IoU crop + resize, fully on device.
@@ -344,6 +345,10 @@ def dct_detection_random_resized_crop(
     highest-IoU one) is cropped AND resized to the fixed output frame in one
     linear DCT-domain op (`ops.dct_resize.dct_crop_resize` — exactly
     pixel-domain bilinear, no recompression, ~1.5% of the forward FLOPs).
+    With probability `identity_prob` the crop is the FULL canvas instead —
+    the analog of `RandomPatchInf`'s bail-out path
+    (`object_detection_2d_patch_sampling_ops.py:591+`, hit for a large
+    fraction of images), which keeps whole-scene views in the distribution.
     Unlike `dct_detection_min_iou_crop_flip` there is no block-alignment or
     fixed-crop-scale restriction — this closes the measured scale-
     distribution gap vs the host chain (BENCHMARK.md round-2 proxy A/B).
@@ -362,7 +367,7 @@ def dct_detection_random_resized_crop(
     # dct_crop_resize wants level-shifted pixel values (DC / 8)
     bg_y, bg_cb, bg_cr = dc_y / 8.0, dc_cb / 8.0, dc_cr / 8.0
 
-    keys = jax.random.split(rng, 9)
+    keys = jax.random.split(rng, 10)
     do_exp = jax.random.bernoulli(keys[0], expand_prob, (B,))
     f = jnp.where(
         do_exp, jax.random.uniform(keys[1], (B,), minval=1.0,
@@ -419,6 +424,13 @@ def dct_detection_random_resized_crop(
         s_h, s_w, u_y, bounds, ch_canvas, cw_canvas, py, px, gt, gt_mask
     )
 
+    # bail-out analog: keep the full (possibly expanded) canvas view
+    ident = jax.random.bernoulli(keys[9], identity_prob, (B,))
+    ry0 = jnp.where(ident, -py, ry0)
+    rx0 = jnp.where(ident, -px, rx0)
+    ph = jnp.where(ident, ch_canvas, ph)
+    pw = jnp.where(ident, cw_canvas, pw)
+
     from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import dct_crop_resize
 
     def one(y_i, c_i, ry, rx, hh, ww, fl, gt_i, mask_i):
@@ -466,6 +478,7 @@ def make_dct_detection_augment_v3(
     expand_prob: float = 0.5,
     expand_max: float = 4.0,
     scale_range=(0.3, 1.0),
+    identity_prob: float = 0.3,
     photometric: bool = True,
     background=(123, 117, 104),
 ):
@@ -489,6 +502,7 @@ def make_dct_detection_augment_v3(
             out_y_blocks=out_y_blocks, n_trials=n_trials,
             expand_prob=expand_prob, expand_max=expand_max,
             scale_min=scale_range[0], scale_max=scale_range[1],
+            identity_prob=identity_prob,
             background=background,
         )
         out = dict(batch)
