@@ -201,13 +201,14 @@ def cmd_train_detect(args):
     augment_fn = None
     if args.device_augment:
         # North-star path: host resizes to a 352px (44-block) source frame;
-        # the FULL augmentation chain — DCT-domain photometric, 2x zoom-out
-        # expand, bounded-trials min-IoU crop, hflip — plus GT rewrite and
-        # target encode all run INSIDE the compiled train step
-        # (ops/dct_detect_augment.py, mirror of the reference's
-        # SSDDataAugmentation chain).
+        # the FULL augmentation chain — DCT-domain photometric, continuous
+        # U(1,4) expand + min-IoU U(0.3,1) crop + bilinear resize (one linear
+        # coefficient-space op), hflip — plus GT rewrite and target encode
+        # all run INSIDE the compiled train step (ops/dct_detect_augment.py
+        # v3, mirror of the reference's SSDDataAugmentation chain; held-out
+        # A/B vs the host chain in BENCHMARK.md).
         from jpeg_detection_resnet_ssd_tpu.ops import (
-            make_dct_detection_augment_v2,
+            make_dct_detection_augment_v3,
         )
 
         encoder = TargetEncoder(
@@ -215,8 +216,10 @@ def cmd_train_detect(args):
             predictor_sizes=ssd_predictor_sizes(family),
             n_classes=20,
         )
-        augment_fn = make_dct_detection_augment_v2(
-            out_y_blocks=38, expand_prob=0.5 if args.crop else 0.0,
+        augment_fn = make_dct_detection_augment_v3(
+            out_y_blocks=38,
+            expand_prob=0.5 if args.crop else 0.0,
+            scale_range=(0.3, 1.0) if args.crop else (1.0, 1.0),
         )
         if args.pack_cache:
             # Decode-once corpus: epochs read memmapped coefficient tensors

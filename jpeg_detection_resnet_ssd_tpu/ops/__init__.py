@@ -10,6 +10,7 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     dct_downscale_2x,
     dct_random_crop_flip,
     dct_brightness_contrast,
+    dct_chroma_hue_saturation,
     dct_random_photometric,
     make_dct_classification_augment,
 )

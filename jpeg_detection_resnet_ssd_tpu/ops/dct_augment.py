@@ -274,11 +274,41 @@ def make_dct_classification_augment(
     return augment
 
 
+def dct_chroma_hue_saturation(cbcr, hue_rad, sat):
+    """Hue rotation + saturation scaling directly on stacked (Cb|Cr)
+    coefficients.
+
+    Hue shift ~ rotation of the (Cb-128, Cr-128) chroma vector; saturation ~
+    scaling its magnitude.  Both are LINEAR pixel-space maps, so they apply
+    EXACTLY per dequantized coefficient (which encode the level-shifted
+    planes): [cb'; cr'] = s·R(θ)·[cb; cr].  Device-side analog of the
+    reference's pixel-space RandomHue (delta ±18 HSV units ≈ ±36°) and
+    RandomSaturation (0.5-1.5)
+    (`object_detection_2d_photometric_ops.py:110-224`).  `hue_rad`/`sat` may
+    be scalars or per-image (B,) arrays."""
+    cbcr = jnp.asarray(cbcr, jnp.float32)
+    h = jnp.asarray(hue_rad, jnp.float32)
+    s = jnp.asarray(sat, jnp.float32)
+    while h.ndim < cbcr.ndim - 1:
+        h = h[..., None]
+        s = s[..., None]
+    cb, cr = cbcr[..., :64], cbcr[..., 64:]
+    c, sn = jnp.cos(h), jnp.sin(h)
+    cb_out = s * (c * cb - sn * cr)
+    cr_out = s * (sn * cb + c * cr)
+    return jnp.concatenate([cb_out, cr_out], axis=-1)
+
+
 def dct_random_photometric(y, cbcr, rng, brightness_range=32.0,
-                           contrast_range=(0.5, 1.5), prob=0.5):
-    """Batched random brightness+contrast in DCT space (per-image params)."""
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5),
+                           hue_max_deg=36.0, prob=0.5):
+    """Batched random brightness + contrast + saturation + hue, all in DCT
+    space with per-image parameters — the coefficient-domain counterpart of
+    the reference's SSDPhotometricDistortions
+    (`data_augmentation_chain_original_ssd.py:146-206`)."""
     B = y.shape[0]
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(rng, 8)
     bright = jax.random.uniform(
         k1, (B,), minval=-brightness_range, maxval=brightness_range
     ) * jax.random.bernoulli(k2, prob, (B,))
@@ -288,6 +318,22 @@ def dct_random_photometric(y, cbcr, rng, brightness_range=32.0,
                            maxval=contrast_range[1]),
         1.0,
     )
+    sat = jnp.where(
+        jax.random.bernoulli(k6, prob, (B,)),
+        jax.random.uniform(k5, (B,), minval=saturation_range[0],
+                           maxval=saturation_range[1]),
+        1.0,
+    )
+    hue = jnp.where(
+        jax.random.bernoulli(k8, prob, (B,)),
+        jax.random.uniform(
+            k7, (B,),
+            minval=-hue_max_deg * jnp.pi / 180.0,
+            maxval=hue_max_deg * jnp.pi / 180.0,
+        ),
+        0.0,
+    )
     y = dct_brightness_contrast(y, bright, contrast, is_luma=True)
     cbcr = dct_brightness_contrast(cbcr, 0.0, contrast, is_luma=False)
+    cbcr = dct_chroma_hue_saturation(cbcr, hue, sat)
     return y, cbcr

@@ -159,6 +159,34 @@ class TestDCTPhotometric:
             blocks_to_pixels(adjusted), expected, atol=1e-2
         )
 
+    def test_hue_saturation_pixel_parity(self, rng):
+        """Chroma rotation/scale in coefficient space == the same linear map
+        applied to the decoded chroma planes."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_chroma_hue_saturation
+
+        cbcr = rng.normal(0, 30, (4, 4, 128)).astype(np.float32)
+        theta, s = 0.4, 1.3
+        out = np.asarray(
+            dct_chroma_hue_saturation(jnp.asarray(cbcr), theta, s)
+        )
+        cb_pix = blocks_to_pixels(cbcr[..., :64]) - 128.0
+        cr_pix = blocks_to_pixels(cbcr[..., 64:]) - 128.0
+        np.testing.assert_allclose(
+            blocks_to_pixels(out[..., :64]) - 128.0,
+            s * (np.cos(theta) * cb_pix - np.sin(theta) * cr_pix),
+            atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            blocks_to_pixels(out[..., 64:]) - 128.0,
+            s * (np.sin(theta) * cb_pix + np.cos(theta) * cr_pix),
+            atol=1e-2,
+        )
+        # identity parameters are exact
+        ident = np.asarray(
+            dct_chroma_hue_saturation(jnp.asarray(cbcr), 0.0, 1.0)
+        )
+        np.testing.assert_allclose(ident, cbcr, atol=1e-5)
+
     def test_batched_random_photometric(self, rng):
         from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
             dct_random_photometric,
