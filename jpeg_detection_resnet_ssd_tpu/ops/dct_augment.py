@@ -289,7 +289,7 @@ def dct_chroma_hue_saturation(cbcr, hue_rad, sat):
     cbcr = jnp.asarray(cbcr, jnp.float32)
     h = jnp.asarray(hue_rad, jnp.float32)
     s = jnp.asarray(sat, jnp.float32)
-    while h.ndim < cbcr.ndim - 1:
+    while h.ndim < cbcr.ndim:
         h = h[..., None]
         s = s[..., None]
     cb, cr = cbcr[..., :64], cbcr[..., 64:]

@@ -186,6 +186,21 @@ class TestDCTPhotometric:
             dct_chroma_hue_saturation(jnp.asarray(cbcr), 0.0, 1.0)
         )
         np.testing.assert_allclose(ident, cbcr, atol=1e-5)
+        # batched per-image parameters broadcast over (B, H, W, 128)
+        batched = np.tile(cbcr[None], (3, 1, 1, 1))
+        out_b = np.asarray(
+            dct_chroma_hue_saturation(
+                jnp.asarray(batched),
+                jnp.asarray([0.0, theta, -theta]),
+                jnp.asarray([1.0, s, 2.0]),
+            )
+        )
+        np.testing.assert_allclose(out_b[0], cbcr, atol=1e-5)
+        np.testing.assert_allclose(
+            out_b[1],
+            np.asarray(dct_chroma_hue_saturation(jnp.asarray(cbcr), theta, s)),
+            atol=1e-4,
+        )
 
     def test_batched_random_photometric(self, rng):
         from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
