@@ -367,8 +367,11 @@ def dct_detection_random_resized_crop(
     # dct_crop_resize wants level-shifted pixel values (DC / 8)
     bg_y, bg_cb, bg_cr = dc_y / 8.0, dc_cb / 8.0, dc_cr / 8.0
 
-    keys = jax.random.split(rng, 10)
+    keys = jax.random.split(rng, 11)
     do_exp = jax.random.bernoulli(keys[0], expand_prob, (B,))
+    # interpolation diversity (ResizeRandomInterp analog): NEAREST is 1 of
+    # the reference's 5 random cv2 modes
+    use_nearest = jax.random.bernoulli(keys[10], 0.2, (B,))
     f = jnp.where(
         do_exp, jax.random.uniform(keys[1], (B,), minval=1.0,
                                    maxval=expand_max), 1.0
@@ -433,14 +436,16 @@ def dct_detection_random_resized_crop(
 
     from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import dct_crop_resize
 
-    def one(y_i, c_i, ry, rx, hh, ww, fl, gt_i, mask_i):
+    def one(y_i, c_i, ry, rx, hh, ww, fl, nn, gt_i, mask_i):
         y_out = dct_crop_resize(
-            y_i, ry, rx, hh, ww, out_px, out_px, background=bg_y
+            y_i, ry, rx, hh, ww, out_px, out_px, background=bg_y,
+            nearest=nn,
         )
         c_out = dct_crop_resize(
             c_i, ry / 2.0, rx / 2.0, hh / 2.0, ww / 2.0,
             out_px // 2, out_px // 2,
             background=jnp.asarray([bg_cb, bg_cr], jnp.float32),
+            nearest=nn,
         )
         y_out = jnp.where(fl, _flip_h_jnp(y_out), y_out)
         c_out = jnp.where(fl, _flip_h_jnp(c_out), c_out)
@@ -469,7 +474,9 @@ def dct_detection_random_resized_crop(
         new_gt = jnp.where(new_mask[:, None], new_gt, 0.0)
         return y_out, c_out, new_gt, new_mask
 
-    return jax.vmap(one)(y, cbcr, ry0, rx0, ph, pw, flip, gt, gt_mask)
+    return jax.vmap(one)(
+        y, cbcr, ry0, rx0, ph, pw, flip, use_nearest, gt, gt_mask
+    )
 
 
 def make_dct_detection_augment_v3(

@@ -31,15 +31,18 @@ import jax.numpy as jnp
 from jpeg_detection_resnet_ssd_tpu.ops.block_dct import DCT_BASIS_8
 
 
-def interp_matrix(src_px: int, dst_px: int, start, length):
-    """Bilinear interpolation matrix W (dst_px, src_px) for resampling the
-    source interval [start, start + length) to dst_px output pixels, plus the
+def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False):
+    """Interpolation matrix W (dst_px, src_px) for resampling the source
+    interval [start, start + length) to dst_px output pixels, plus the
     per-output residual mass (dst_px,) assigned to out-of-bounds background.
 
     Half-pixel-center convention (cv2.INTER_LINEAR): output pixel o samples
     source coordinate start + (o + 0.5) * length / dst_px - 0.5.  `start` and
     `length` are traced scalars (pixels, float); source samples outside
     [0, src_px) contribute zero weight and their mass lands in the residual.
+    `nearest` (traced bool) switches to nearest-neighbor weights — the
+    interpolation-diversity axis of the reference's `ResizeRandomInterp`
+    (`object_detection_2d_geometric_ops.py:102`, 5 random cv2 modes).
     """
     start = jnp.asarray(start, jnp.float32)
     length = jnp.asarray(length, jnp.float32)
@@ -48,11 +51,14 @@ def interp_matrix(src_px: int, dst_px: int, start, length):
     i0 = jnp.floor(s)
     w1 = s - i0  # weight of i0 + 1
     src = jnp.arange(src_px, dtype=jnp.float32)
-    # W[o, i] = (1-w1) [i == i0] + w1 [i == i0+1], masked to valid i
+    # bilinear: W[o, i] = (1-w1) [i == i0] + w1 [i == i0+1]
     d0 = src[None, :] - i0[:, None]
-    W = jnp.where(d0 == 0.0, 1.0 - w1[:, None], 0.0) + jnp.where(
+    W_bl = jnp.where(d0 == 0.0, 1.0 - w1[:, None], 0.0) + jnp.where(
         d0 == 1.0, w1[:, None], 0.0
     )
+    # nearest: one-hot at round(s)
+    W_nn = jnp.where(src[None, :] - jnp.round(s)[:, None] == 0.0, 1.0, 0.0)
+    W = jnp.where(jnp.asarray(nearest), W_nn, W_bl)
     residual = 1.0 - jnp.sum(W, axis=1)
     return W, residual
 
@@ -95,19 +101,21 @@ def dct_crop_resize(
     out_h_px: int,
     out_w_px: int,
     background=0.0,
+    nearest=False,
 ):
     """Crop [y0, y0+crop_h) x [x0, x0+crop_w) (continuous pixels, may extend
     beyond the source) and resize to (out_h_px, out_w_px), all in coefficient
     space.  `background` is the fill PIXEL value minus 128 (level-shifted),
     a scalar or a per-channel-group (k,) array (e.g. (Cb, Cr) for a stacked
     chroma tensor): out-of-bounds regions decode to that constant.
+    `nearest` (traced bool) selects nearest-neighbor resampling.
 
     blocks: (H8, W8, k*64).  Returns (out_h_px/8, out_w_px/8, k*64).
     """
     H8, W8, Ch = blocks.shape
     g = Ch // 64
-    Wy, ry = interp_matrix(H8 * 8, out_h_px, y0, crop_h)
-    Wx, rx = interp_matrix(W8 * 8, out_w_px, x0, crop_w)
+    Wy, ry = interp_matrix(H8 * 8, out_h_px, y0, crop_h, nearest=nearest)
+    Wx, rx = interp_matrix(W8 * 8, out_w_px, x0, crop_w, nearest=nearest)
     out = dct_resample(blocks, Wy, Wx)
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (g,))
 

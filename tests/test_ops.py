@@ -473,6 +473,27 @@ class TestDctCropResize:
         )
         np.testing.assert_allclose(out, blocks, atol=1e-3)
 
+    def test_nearest_mode(self, rng):
+        """nearest=True selects one-hot source samples (pixel parity with a
+        numpy nearest-neighbor gather)."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        blocks = rng.normal(0, 50, (6, 6, 64)).astype(np.float32)
+        P = blocks_to_pixels(blocks) - 128.0
+        y0, x0, ch, cw = 4.0, 6.0, 30.0, 26.0
+        out = np.asarray(
+            dct_crop_resize(
+                jnp.asarray(blocks), y0, x0, ch, cw, 32, 32, nearest=True
+            )
+        )
+        o = np.arange(32)
+        sy = np.round(y0 + (o + 0.5) * (ch / 32) - 0.5).astype(int)
+        sx = np.round(x0 + (o + 0.5) * (cw / 32) - 0.5).astype(int)
+        expect = P[np.clip(sy, 0, 47)][:, np.clip(sx, 0, 47)]
+        np.testing.assert_allclose(
+            blocks_to_pixels(out) - 128.0, expect, atol=1e-2
+        )
+
     def test_per_group_background(self, rng):
         from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
 
