@@ -99,13 +99,14 @@ def cmd_train_classify(args):
     ds = ds.shard(jax.process_index(), jax.process_count())
     augment_fn = None
     if getattr(args, "device_augment", False) and config.input_format == "dct":
-        # Device-side crop/flip/photometric compiled into the train step;
-        # the host ships oversized 256px coefficient maps (no re-encode).
+        # Device-side continuous random-resized-crop + flip + photometric
+        # compiled into the train step; the host ships oversized 256px
+        # coefficient maps (no re-encode).
         from jpeg_detection_resnet_ssd_tpu.ops import (
-            make_dct_classification_augment,
+            make_dct_classification_augment_v2,
         )
 
-        augment_fn = make_dct_classification_augment(out_y_blocks=28)
+        augment_fn = make_dct_classification_augment_v2(out_y_blocks=28)
         if args.pack_cache:
             from jpeg_detection_resnet_ssd_tpu.data.packed import (
                 PackedDctPipeline,

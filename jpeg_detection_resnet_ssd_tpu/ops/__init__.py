@@ -13,6 +13,7 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     dct_chroma_hue_saturation,
     dct_random_photometric,
     make_dct_classification_augment,
+    make_dct_classification_augment_v2,
 )
 from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
     dct_detection_crop_flip,

@@ -242,6 +242,74 @@ def dct_brightness_contrast(
     return out
 
 
+def make_dct_classification_augment_v2(
+    out_y_blocks: int = 28,
+    scale_range=(0.35, 1.0),
+    ar_range=(0.75, 1.333),
+    identity_prob: float = 0.2,
+    photometric: bool = True,
+):
+    """Continuous random-resized-crop classification augment, fully on device.
+
+    The scale/aspect diversity of `classification_train_view` (random scaled
+    crops of the source image) realized in coefficient space via
+    `ops.dct_resize.dct_crop_resize`: per image sample area scale
+    U(scale_range) and aspect ratio U(ar_range) of the source frame, crop a
+    random position, resize to the fixed output, random hflip (+ DCT
+    photometric).  `identity_prob` keeps full-frame views.  Fixes the
+    weak-augmentation overfit of the block-aligned v1 (held-out A/B in
+    BENCHMARK.md)."""
+
+    def augment(batch, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import (
+            dct_crop_resize,
+        )
+
+        y, cbcr = batch["inputs"]
+        y = y.astype(jnp.float32)
+        cbcr = cbcr.astype(jnp.float32)
+        B, H8, W8, _ = y.shape
+        H, W = jnp.float32(H8 * 8), jnp.float32(W8 * 8)
+        out_px = out_y_blocks * 8
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
+        area = jax.random.uniform(
+            k1, (B,), minval=scale_range[0], maxval=scale_range[1]
+        )
+        ar = jnp.exp(
+            jax.random.uniform(
+                k2, (B,),
+                minval=jnp.log(ar_range[0]), maxval=jnp.log(ar_range[1]),
+            )
+        )
+        ch = jnp.minimum(jnp.sqrt(area / ar) * H, H)
+        cw = jnp.minimum(jnp.sqrt(area * ar) * W, W)
+        ident = jax.random.bernoulli(k3, identity_prob, (B,))
+        ch = jnp.where(ident, H, ch)
+        cw = jnp.where(ident, W, cw)
+        y0 = jax.random.uniform(k4, (B,)) * (H - ch)
+        x0 = jax.random.uniform(k5, (B,)) * (W - cw)
+        flip = jax.random.bernoulli(k6, 0.5, (B,))
+
+        def one(y_i, c_i, yy0, xx0, hh, ww, fl):
+            y_out = dct_crop_resize(y_i, yy0, xx0, hh, ww, out_px, out_px)
+            c_out = dct_crop_resize(
+                c_i, yy0 / 2.0, xx0 / 2.0, hh / 2.0, ww / 2.0,
+                out_px // 2, out_px // 2,
+            )
+            y_out = jnp.where(fl, _flip_h_jnp(y_out), y_out)
+            c_out = jnp.where(fl, _flip_h_jnp(c_out), c_out)
+            return y_out, c_out
+
+        y, cbcr = jax.vmap(one)(y, cbcr, y0, x0, ch, cw, flip)
+        if photometric:
+            y, cbcr = dct_random_photometric(y, cbcr, k7)
+        out = dict(batch)
+        out["inputs"] = (y, cbcr)
+        return out
+
+    return augment
+
+
 def make_dct_classification_augment(
     out_y_blocks: int = 28,
     photometric: bool = True,

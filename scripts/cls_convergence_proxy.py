@@ -128,10 +128,10 @@ def main():
             load_or_create,
         )
         from jpeg_detection_resnet_ssd_tpu.ops import (
-            make_dct_classification_augment,
+            make_dct_classification_augment_v2,
         )
 
-        augment_fn = make_dct_classification_augment(out_y_blocks=28)
+        augment_fn = make_dct_classification_augment_v2(out_y_blocks=28)
         packed = load_or_create(
             os.path.join(args.data_root, "packed_256"), train_ds,
             task="classification", img_size=256,

@@ -597,6 +597,31 @@ class TestPackedDct:
         for img in np.asarray(ia["inputs"], np.uint8):
             assert img.tobytes() in eval_imgs
 
+    def test_classification_augment_v2_shapes(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_classification_augment_v2,
+        )
+
+        y = rng.normal(0, 50, (6, 32, 32, 64)).astype(np.int16)
+        cbcr = rng.normal(0, 20, (6, 16, 16, 128)).astype(np.int16)
+        labels = rng.integers(0, 8, 6)
+        aug_fn = make_dct_classification_augment_v2(out_y_blocks=28)
+        out = aug_fn(
+            {"inputs": (jnp.asarray(y), jnp.asarray(cbcr)),
+             "labels": labels},
+            jax.random.PRNGKey(0),
+        )
+        yo, co = out["inputs"]
+        assert yo.shape == (6, 28, 28, 64) and co.shape == (6, 14, 14, 128)
+        assert yo.dtype == jnp.float32
+        np.testing.assert_array_equal(out["labels"], labels)
+        # different images get different crop geometries (continuous scales)
+        a = np.asarray(yo)
+        assert not np.allclose(a[0], a[1])
+
     def test_int16_shipping_matches_f32(self, imagenet_root, tmp_path):
         """ship_dtype=int16 halves transfer; device-side cast in the augment
         factory yields identical results to f32 shipping."""
