@@ -357,8 +357,11 @@ def dct_chroma_hue_saturation(cbcr, hue_rad, sat):
     cbcr = jnp.asarray(cbcr, jnp.float32)
     h = jnp.asarray(hue_rad, jnp.float32)
     s = jnp.asarray(sat, jnp.float32)
+    # pad each independently: mixing a scalar with a per-image (B,) array is
+    # legal and must not duplicate the batch
     while h.ndim < cbcr.ndim:
         h = h[..., None]
+    while s.ndim < cbcr.ndim:
         s = s[..., None]
     cb, cr = cbcr[..., :64], cbcr[..., 64:]
     c, sn = jnp.cos(h), jnp.sin(h)

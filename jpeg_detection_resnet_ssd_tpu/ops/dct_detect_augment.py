@@ -126,18 +126,18 @@ def dct_detection_expand(
 _IOU_BOUNDS = jnp.asarray([-1.0, 0.1, 0.3, 0.5, 0.7, 0.9], jnp.float32)
 
 
-def _patch_gt_iou(x0px, y0px, out_px, gt, gt_mask):
-    """Max IoU between the patch [x0, y0, x0+out, y0+out] and the valid GT."""
+def _patch_gt_iou(x0px, y0px, w_px, h_px, gt, gt_mask):
+    """Max IoU between the patch [x0, y0, x0+w, y0+h] and the valid GT."""
     ix = jnp.maximum(
         0.0,
-        jnp.minimum(x0px + out_px, gt[:, 3]) - jnp.maximum(x0px, gt[:, 1]),
+        jnp.minimum(x0px + w_px, gt[:, 3]) - jnp.maximum(x0px, gt[:, 1]),
     )
     iy = jnp.maximum(
         0.0,
-        jnp.minimum(y0px + out_px, gt[:, 4]) - jnp.maximum(y0px, gt[:, 2]),
+        jnp.minimum(y0px + h_px, gt[:, 4]) - jnp.maximum(y0px, gt[:, 2]),
     )
     inter = ix * iy
-    a_p = out_px * out_px
+    a_p = w_px * h_px
     a_b = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2])
     union = a_p + a_b - inter
     iou = jnp.where((union > 0) & gt_mask, inter / union, 0.0)
@@ -270,7 +270,7 @@ def dct_detection_min_iou_crop_flip(
             lambda y0, x0: _patch_gt_iou(
                 (16 * x0).astype(jnp.float32),
                 (16 * y0).astype(jnp.float32),
-                float(out_px), gt_i, mask_i,
+                float(out_px), float(out_px), gt_i, mask_i,
             )
         )(y0t, x0t)  # (n_trials,)
         ok = (ious >= bound) | (bound < 0.0) | ~jnp.any(mask_i)
@@ -399,29 +399,26 @@ def dct_detection_random_resized_crop(
         cy0 = u_t[:, 0] * (chc - ph) - py_i  # in SOURCE coords
         cx0 = u_t[:, 1] * (cwc - pw) - px_i
 
-        def patch_iou(yy0, xx0, hh, ww):
-            ix = jnp.maximum(
-                0.0,
-                jnp.minimum(xx0 + ww, gt_i[:, 3]) - jnp.maximum(xx0, gt_i[:, 1]),
+        ious = jax.vmap(
+            lambda yy0, xx0, hh, ww: _patch_gt_iou(
+                xx0, yy0, ww, hh, gt_i, mask_i
             )
-            iy = jnp.maximum(
-                0.0,
-                jnp.minimum(yy0 + hh, gt_i[:, 4]) - jnp.maximum(yy0, gt_i[:, 2]),
-            )
-            inter = ix * iy
-            a_b = (gt_i[:, 3] - gt_i[:, 1]) * (gt_i[:, 4] - gt_i[:, 2])
-            union = hh * ww + a_b - inter
-            iou = jnp.where((union > 0) & mask_i, inter / union, 0.0)
-            return jnp.max(iou, initial=0.0)
-
-        ious = jax.vmap(patch_iou)(cy0, cx0, ph, pw)
+        )(cy0, cx0, ph, pw)
         ok = ar_ok & (
             (ious >= bound) | (bound < 0.0) | ~jnp.any(mask_i)
         )
         first_ok = jnp.argmax(ok)
         best = jnp.argmax(jnp.where(ar_ok, ious, -1.0))
         pick = jnp.where(jnp.any(ok), first_ok, best)
-        return cy0[pick], cx0[pick], ph[pick], pw[pick]
+        # no trial satisfied even the AR constraint (~p^n_trials): fall back
+        # to the full canvas rather than a distorted out-of-range patch
+        valid = jnp.any(ar_ok)
+        return (
+            jnp.where(valid, cy0[pick], -py_i),
+            jnp.where(valid, cx0[pick], -px_i),
+            jnp.where(valid, ph[pick], chc),
+            jnp.where(valid, pw[pick], cwc),
+        )
 
     ry0, rx0, ph, pw = jax.vmap(choose_one)(
         s_h, s_w, u_y, bounds, ch_canvas, cw_canvas, py, px, gt, gt_mask

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jpeg_detection_resnet_ssd_tpu.ops.block_dct import DCT_BASIS_8
 
 
-def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False):
+def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
+                  clamp=False):
     """Interpolation matrix W (dst_px, src_px) for resampling the source
     interval [start, start + length) to dst_px output pixels, plus the
     per-output residual mass (dst_px,) assigned to out-of-bounds background.
@@ -43,11 +44,19 @@ def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False):
     `nearest` (traced bool) switches to nearest-neighbor weights — the
     interpolation-diversity axis of the reference's `ResizeRandomInterp`
     (`object_detection_2d_geometric_ops.py:102`, 5 random cv2 modes).
+    `clamp` (traced bool) clamps sample coordinates to [0, src-1] — cv2's
+    border-replicate convention for resizing an in-bounds crop; leave False
+    for out-of-source crops, where the residual mass models a background
+    canvas (a sample straddling the image edge then blends image and
+    background, exactly as a materialized canvas would).
     """
     start = jnp.asarray(start, jnp.float32)
     length = jnp.asarray(length, jnp.float32)
     o = jnp.arange(dst_px, dtype=jnp.float32)
     s = start + (o + 0.5) * (length / dst_px) - 0.5  # (dst,)
+    s = jnp.where(
+        jnp.asarray(clamp), jnp.clip(s, 0.0, float(src_px - 1)), s
+    )
     i0 = jnp.floor(s)
     w1 = s - i0  # weight of i0 + 1
     src = jnp.arange(src_px, dtype=jnp.float32)
@@ -114,8 +123,17 @@ def dct_crop_resize(
     """
     H8, W8, Ch = blocks.shape
     g = Ch // 64
-    Wy, ry = interp_matrix(H8 * 8, out_h_px, y0, crop_h, nearest=nearest)
-    Wx, rx = interp_matrix(W8 * 8, out_w_px, x0, crop_w, nearest=nearest)
+    # cv2 parity: a crop fully inside the source (per axis) resizes with
+    # border replication; a crop leaving the source blends into the
+    # background canvas at the image edge (see interp_matrix docstring)
+    y0t = jnp.asarray(y0, jnp.float32)
+    x0t = jnp.asarray(x0, jnp.float32)
+    clamp_y = (y0t >= 0.0) & (y0t + crop_h <= H8 * 8)
+    clamp_x = (x0t >= 0.0) & (x0t + crop_w <= W8 * 8)
+    Wy, ry = interp_matrix(H8 * 8, out_h_px, y0, crop_h, nearest=nearest,
+                           clamp=clamp_y)
+    Wx, rx = interp_matrix(W8 * 8, out_w_px, x0, crop_w, nearest=nearest,
+                           clamp=clamp_x)
     out = dct_resample(blocks, Wy, Wx)
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (g,))
 

@@ -473,6 +473,43 @@ class TestDctCropResize:
         )
         np.testing.assert_allclose(out, blocks, atol=1e-3)
 
+    def test_inbounds_border_crop_replicates_edge(self, rng):
+        """An IN-BOUNDS crop touching the image border resizes with cv2-style
+        edge replication (no background bleeding): upscaling a constant image
+        stays constant."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+        from jpeg_detection_resnet_ssd_tpu.ops.block_dct import dct2_8x8
+
+        const = np.full((48, 48), -28.0, np.float32)  # level-shifted 100
+        blocks = np.asarray(
+            dct2_8x8(jnp.asarray(
+                const.reshape(6, 8, 6, 8).transpose(0, 2, 1, 3)
+            ))
+        )
+        out = np.asarray(
+            dct_crop_resize(
+                jnp.asarray(blocks), 0.0, 0.0, 20.0, 20.0, 32, 32,
+                background=50.0,
+            )
+        )
+        np.testing.assert_allclose(
+            blocks_to_pixels(out) - 128.0, -28.0, atol=1e-2
+        )
+
+    def test_hue_sat_mixed_rank_params(self, rng):
+        """Scalar hue + per-image sat must not duplicate the batch."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_chroma_hue_saturation
+
+        cbcr = rng.normal(0, 20, (3, 4, 4, 128)).astype(np.float32)
+        out = np.asarray(
+            dct_chroma_hue_saturation(
+                jnp.asarray(cbcr), 0.0, jnp.asarray([1.0, 2.0, 3.0])
+            )
+        )
+        assert out.shape == cbcr.shape
+        np.testing.assert_allclose(out[0], cbcr[0], atol=1e-5)
+        np.testing.assert_allclose(out[1], 2.0 * cbcr[1], atol=1e-4)
+
     def test_nearest_mode(self, rng):
         """nearest=True selects one-hot source samples (pixel parity with a
         numpy nearest-neighbor gather)."""
