@@ -49,7 +49,11 @@ def main():
     y = rng.normal(0, 100, (BATCH, 38, 38, 64)).astype(np.float32)
     cbcr = rng.normal(0, 30, (BATCH, 19, 19, 128)).astype(np.float32)
     variables = module.init(jax.random.PRNGKey(0), (y[:1], cbcr[:1]), train=False)
-    decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+    # Serving opts into the shared candidate pool explicitly (the library
+    # default is the reference's literal 'exact' per-class selector).
+    decode = make_inference_fn(
+        n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
+    )
 
     @jax.jit
     def chained(variables, y, cbcr):

@@ -49,6 +49,24 @@ def _load_config(args, defaults):
     return config
 
 
+def _resolve_pretrained_source(spec: str) -> str:
+    """`--pretrained-weights` accepts a local H5 path, a known-checkpoint
+    short name (checksum-verified fetch, `compat/fetch.py`), or a URL with
+    an optional `#md5:<hex>` / `#sha256:<hex>` fragment."""
+    from jpeg_detection_resnet_ssd_tpu.compat.fetch import (
+        KNOWN_WEIGHTS,
+        fetch_known_weights,
+        fetch_weights,
+    )
+
+    if spec in KNOWN_WEIGHTS:
+        return fetch_known_weights(spec)
+    if "://" in spec:
+        origin, _, checksum = spec.partition("#")
+        return fetch_weights(origin, checksum=checksum or None)
+    return spec
+
+
 def _maybe_import_pretrained(config, trainer, example_inputs):
     import jax
 
@@ -56,6 +74,9 @@ def _maybe_import_pretrained(config, trainer, example_inputs):
 
     if not config.pretrained_weights:
         return None
+    config.pretrained_weights = _resolve_pretrained_source(
+        config.pretrained_weights
+    )
     from jpeg_detection_resnet_ssd_tpu.models import build_model
 
     module, _ = build_model(config.model, **config.model_kwargs)
@@ -66,6 +87,29 @@ def _maybe_import_pretrained(config, trainer, example_inputs):
         variables, config.pretrained_weights, verbose=True
     )
     return variables
+
+
+def _check_device_augment_flags(args, config):
+    """The DCT-domain device-augmentation paths only exist for the dual-plane
+    'dct' input contract.  Silently falling back to the host pipeline would
+    train a different recipe than the user asked for — fail loud instead
+    (ADVICE.md round 2)."""
+    device_augment = getattr(args, "device_augment", False)
+    pack_cache = getattr(args, "pack_cache", None)
+    if device_augment and config.input_format != "dct":
+        raise SystemExit(
+            f"--device-augment requires input_format='dct' (dual-plane "
+            f"Y+CbCr coefficients); this run resolves to input_format="
+            f"{config.input_format!r} (archi={args.archi!r}). Drop the flag "
+            f"to use the host augmentation pipeline, or pick a dct archi."
+        )
+    if pack_cache and not device_augment:
+        raise SystemExit(
+            "--pack-cache only takes effect together with --device-augment "
+            "(the packed corpus stores oversized DCT coefficients for the "
+            "device augmentation chain). Add --device-augment or drop "
+            "--pack-cache."
+        )
 
 
 def cmd_train_classify(args):
@@ -97,8 +141,9 @@ def cmd_train_classify(args):
 
     full_ds = ds  # unsharded: pack caches must cover the whole corpus
     ds = ds.shard(jax.process_index(), jax.process_count())
+    _check_device_augment_flags(args, config)
     augment_fn = None
-    if getattr(args, "device_augment", False) and config.input_format == "dct":
+    if getattr(args, "device_augment", False):
         # Device-side continuous random-resized-crop + flip + photometric
         # compiled into the train step; the host ships oversized 256px
         # coefficient maps (no re-encode).
@@ -199,6 +244,7 @@ def cmd_train_detect(args):
         predictor_sizes=ssd_predictor_sizes(family),
         n_classes=20,
     )
+    _check_device_augment_flags(args, config)
     augment_fn = None
     if args.device_augment:
         # North-star path: host resizes to a 352px (44-block) source frame;

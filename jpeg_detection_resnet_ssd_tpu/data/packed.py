@@ -133,12 +133,21 @@ class PackedDctDataset:
         quality: int = 75,
         num_workers: int = 8,
         verbose: bool = False,
+        use_native: bool = True,
     ) -> "PackedDctDataset":
         """Decode + resize + block-DCT every record once.
 
         `dataset` is any detection dataset (records with image_path/bytes and
         (k, 5) `boxes`).  The frame is the device-augment SOURCE frame
-        (oversized, e.g. 352 = 44 luma blocks for a 304 crop)."""
+        (oversized, e.g. 352 = 44 luma blocks for a 304 crop).
+
+        `use_native=True` runs the whole per-image hot loop (JPEG decode ->
+        cv2-convention bilinear resize -> 4:2:0 re-encode -> coefficient
+        decode) in ONE C++ call (`dctjpeg.pack`) that releases the GIL — the
+        thread pool then scales across cores without PIL/numpy round-trips.
+        Records whose bytes the native path cannot decode (e.g. PNGs in a
+        mixed corpus) fall back to the Python path per record; box rescaling
+        matches `aug.resize` exactly (parity-tested)."""
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(dataset)
@@ -155,15 +164,50 @@ class PackedDctDataset:
         gt_mask = np.zeros((n, max_gt), bool)
         image_ids = [""] * n
 
+        def _native_pack_record(rec):
+            """One C++ call for the image path; returns (y, cbcr, labels) or
+            None when the record needs the Python fallback."""
+            import io
+
+            from PIL import Image
+
+            from jpeg_detection_resnet_ssd_tpu import dctjpeg
+
+            buf = rec.get("image_bytes")
+            if buf is None:
+                with open(rec["image_path"], "rb") as f:
+                    buf = f.read()
+            try:
+                # Header-only probe for the original size (PIL decodes
+                # lazily), needed to rescale boxes like `aug.resize`.
+                with Image.open(io.BytesIO(buf)) as im:
+                    if im.format != "JPEG":
+                        return None
+                    w0, h0 = im.size
+                y, cbcr = dctjpeg.pack(
+                    buf, img_height, img_width, quality=quality
+                )
+            except (dctjpeg.JPEGDecodeError, OSError):
+                return None
+            labels = rec["boxes"].astype(np.float32).copy()
+            if len(labels):
+                labels[:, [1, 3]] *= img_width / w0
+                labels[:, [2, 4]] *= img_height / h0
+            return y, cbcr, labels
+
         def work(i):
             rec = dataset[i]
-            image = _load_record_rgb(rec)
-            labels = rec["boxes"].copy()
-            image, labels = aug.resize(
-                aug.to_3_channels(image), labels, img_height, img_width,
-                filter_degenerate=False,
-            )
-            y, cbcr = rgb_to_dct_tensors(image, quality=quality)
+            native = _native_pack_record(rec) if use_native else None
+            if native is not None:
+                y, cbcr, labels = native
+            else:
+                image = _load_record_rgb(rec)
+                labels = rec["boxes"].copy()
+                image, labels = aug.resize(
+                    aug.to_3_channels(image), labels, img_height, img_width,
+                    filter_degenerate=False,
+                )
+                y, cbcr = rgb_to_dct_tensors(image, quality=quality)
             y_arr[i] = y.astype(np.int16)
             c_arr[i] = cbcr.astype(np.int16)
             k = min(len(labels), max_gt)
@@ -214,19 +258,24 @@ def load_or_create(
     time."""
     import jax
 
-    if not os.path.exists(stem + ".meta.json"):
-        if jax.process_index() == 0:
-            create = (
-                PackedDctDataset.create_classification
-                if task == "classification"
-                else PackedDctDataset.create
-            )
-            create(dataset, stem, num_workers=num_workers, verbose=verbose,
-                   **create_kwargs)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+    # Barrier participation must be collectively consistent: if each host
+    # branched on its OWN os.path.exists() a host that observes the cache
+    # only after process 0 finishes packing would skip the barrier while
+    # others wait in it (cross-host TOCTOU -> hang / mispaired collectives,
+    # ADVICE.md round 2).  So under multi-process we ALWAYS enter the
+    # barrier; only the create decision is local to process 0.
+    if jax.process_index() == 0 and not os.path.exists(stem + ".meta.json"):
+        create = (
+            PackedDctDataset.create_classification
+            if task == "classification"
+            else PackedDctDataset.create
+        )
+        create(dataset, stem, num_workers=num_workers, verbose=verbose,
+               **create_kwargs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices(f"pack:{stem}")
+        multihost_utils.sync_global_devices(f"pack:{stem}")
     packed = PackedDctDataset(stem)
     if len(packed) != len(dataset):
         raise ValueError(

@@ -20,6 +20,8 @@ Input formats (matching the reference's generator variants):
   'dct_deconv' -> (y, cb, cr)         ...JPEG2DCTDeconv / DataGeneratorDeconvDCT
   'rgb'        -> float32 image       DataGenerator (RGB SSD)
   'dct_image'  -> (H, W, 3) DCT plane jpegdecoder path (DataGeneratorDCT _dct.py)
+  'dct_255'    -> (H, W, 3) DCT plane rescaled to 0-255
+                 (`object_detection_2d_data_generator_dct_255.py:1174-1184`)
 """
 
 from __future__ import annotations
@@ -62,6 +64,17 @@ def _pack_inputs(images: list[np.ndarray], input_format: str):
         return np.stack(
             [rgb_to_dct_image(im) for im in images]
         ).astype(np.float32)
+    if input_format == "dct_255":
+        # The `_dct_255` generator variant: same jpegdecoder level-2 spatial
+        # layout, each dequantized coefficient affinely rescaled into 0-255
+        # with the reference's exact integer arithmetic `(x + 1024) * 255
+        # // 2048` (floor division; coefficients live in ~[-1024, 1016] so
+        # the result is in [0, 254]).  Reference:
+        # `object_detection_2d_data_generator_dct_255.py:1174-1184`.
+        planes = np.stack(
+            [rgb_to_dct_image(im) for im in images]
+        ).astype(np.int64)
+        return ((planes + 1024) * 255 // 2048).astype(np.float32)
     ys, cbcrs = zip(*(rgb_to_dct_tensors(im) for im in images))
     y = np.stack(ys).astype(np.float32)
     cbcr = np.stack(cbcrs).astype(np.float32)

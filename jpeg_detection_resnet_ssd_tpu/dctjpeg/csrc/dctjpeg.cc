@@ -25,6 +25,7 @@
 
 #include <jpeglib.h>
 
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
@@ -225,48 +226,59 @@ uint8_t* decode_rgb(const uint8_t* data, size_t size, int* h, int* w,
   return rgb;
 }
 
-// Half-pixel-center bilinear resize (cv2.INTER_LINEAR convention).
-// Row pass: horizontal lerp of the two source rows into float scratch,
-// then one vertical lerp — with per-column offsets/weights precomputed, the
-// inner loops vectorize.
+// cv2.INTER_LINEAR replica for uint8, bit-exact (parity-tested from Python
+// against cv2.resize across up/down-scales and degenerate shapes).  OpenCV's
+// 8-bit path is FIXED-POINT (INTER_RESIZE_COEF_BITS=11, scale 2048):
+//   * per-axis taps: f = (d+0.5)*src/dst - 0.5 (float), s = floor(f),
+//     coefficients round-half-even((1-f)*2048) / (f*2048);
+//   * horizontal pass accumulates exactly in int32 (no truncation), so
+//     clamping out-of-range taps with a collapsed weight is equivalent;
+//   * vertical pass truncates PER TAP — dst = (((b0*(r0>>4))>>16)
+//     + ((b1*(r1>>4))>>16) + 2) >> 2 — so at the borders the SPLIT
+//     coefficients must be kept and only the tap rows clipped (folding
+//     b0+b1 into one tap changes the truncation and diverges by ±1).
 void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
                      int dh, int dw) {
-  const float sy_scale = static_cast<float>(sh) / dh;
-  const float sx_scale = static_cast<float>(sw) / dw;
+  const double sy_scale = static_cast<double>(sh) / dh;
+  const double sx_scale = static_cast<double>(sw) / dw;
 
   int* x0s = static_cast<int*>(malloc(sizeof(int) * dw));
   int* x1s = static_cast<int*>(malloc(sizeof(int) * dw));
-  float* wxs = static_cast<float*>(malloc(sizeof(float) * dw));
-  float* row0 = static_cast<float*>(malloc(sizeof(float) * dw * 3));
-  float* row1 = static_cast<float*>(malloc(sizeof(float) * dw * 3));
+  int* xa0 = static_cast<int*>(malloc(sizeof(int) * dw));
+  int* xa1 = static_cast<int*>(malloc(sizeof(int) * dw));
+  int32_t* row0 = static_cast<int32_t*>(malloc(sizeof(int32_t) * dw * 3));
+  int32_t* row1 = static_cast<int32_t*>(malloc(sizeof(int32_t) * dw * 3));
   for (int ox = 0; ox < dw; ++ox) {
-    float fx = (ox + 0.5f) * sx_scale - 0.5f;
-    if (fx < 0) fx = 0;
-    int x0 = static_cast<int>(fx);
-    if (x0 > sw - 1) x0 = sw - 1;
-    x0s[ox] = x0;
-    x1s[ox] = x0 + 1 < sw ? x0 + 1 : sw - 1;
-    wxs[ox] = fx - x0;
+    float fx = static_cast<float>((ox + 0.5) * sx_scale - 0.5);
+    int sx = static_cast<int>(std::floor(fx));
+    fx -= static_cast<float>(sx);
+    if (sx < 0) { sx = 0; fx = 0.f; }
+    if (sx >= sw - 1) { sx = sw - 1; fx = 0.f; }
+    x0s[ox] = sx;
+    x1s[ox] = sx + 1 < sw ? sx + 1 : sw - 1;
+    xa0[ox] = static_cast<int>(lrintf((1.f - fx) * 2048.f));
+    xa1[ox] = static_cast<int>(lrintf(fx * 2048.f));
   }
 
   int cached_y0 = -1, cached_y1 = -1;
   for (int oy = 0; oy < dh; ++oy) {
-    float fy = (oy + 0.5f) * sy_scale - 0.5f;
-    if (fy < 0) fy = 0;
-    int y0 = static_cast<int>(fy);
-    if (y0 > sh - 1) y0 = sh - 1;
-    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-    float wy = fy - y0;
+    float fy = static_cast<float>((oy + 0.5) * sy_scale - 0.5);
+    int sy = static_cast<int>(std::floor(fy));
+    fy -= static_cast<float>(sy);
+    const int b0 = static_cast<int>(lrintf((1.f - fy) * 2048.f));
+    const int b1 = static_cast<int>(lrintf(fy * 2048.f));
+    int y0 = sy < 0 ? 0 : (sy > sh - 1 ? sh - 1 : sy);
+    int y1 = sy + 1 < 0 ? 0 : (sy + 1 > sh - 1 ? sh - 1 : sy + 1);
 
     if (y0 != cached_y0) {
       const uint8_t* s = src + static_cast<size_t>(y0) * sw * 3;
       for (int ox = 0; ox < dw; ++ox) {
         const uint8_t* a = s + x0s[ox] * 3;
         const uint8_t* b = s + x1s[ox] * 3;
-        const float wx = wxs[ox];
-        row0[ox * 3 + 0] = a[0] + wx * (b[0] - a[0]);
-        row0[ox * 3 + 1] = a[1] + wx * (b[1] - a[1]);
-        row0[ox * 3 + 2] = a[2] + wx * (b[2] - a[2]);
+        const int a0 = xa0[ox], a1 = xa1[ox];
+        row0[ox * 3 + 0] = a[0] * a0 + b[0] * a1;
+        row0[ox * 3 + 1] = a[1] * a0 + b[1] * a1;
+        row0[ox * 3 + 2] = a[2] * a0 + b[2] * a1;
       }
       cached_y0 = y0;
     }
@@ -275,21 +287,24 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
       for (int ox = 0; ox < dw; ++ox) {
         const uint8_t* a = s + x0s[ox] * 3;
         const uint8_t* b = s + x1s[ox] * 3;
-        const float wx = wxs[ox];
-        row1[ox * 3 + 0] = a[0] + wx * (b[0] - a[0]);
-        row1[ox * 3 + 1] = a[1] + wx * (b[1] - a[1]);
-        row1[ox * 3 + 2] = a[2] + wx * (b[2] - a[2]);
+        const int a0 = xa0[ox], a1 = xa1[ox];
+        row1[ox * 3 + 0] = a[0] * a0 + b[0] * a1;
+        row1[ox * 3 + 1] = a[1] * a0 + b[1] * a1;
+        row1[ox * 3 + 2] = a[2] * a0 + b[2] * a1;
       }
       cached_y1 = y1;
     }
     uint8_t* o = dst + static_cast<size_t>(oy) * dw * 3;
     for (int i = 0; i < dw * 3; ++i) {
-      o[i] = static_cast<uint8_t>(row0[i] + wy * (row1[i] - row0[i]) + 0.5f);
+      o[i] = static_cast<uint8_t>(
+          (((b0 * (row0[i] >> 4)) >> 16) + ((b1 * (row1[i] >> 4)) >> 16) + 2)
+          >> 2);
     }
   }
   free(x0s);
   free(x1s);
-  free(wxs);
+  free(xa0);
+  free(xa1);
   free(row0);
   free(row1);
 }

@@ -1,5 +1,7 @@
 """H5 weight import (by-name semantics) + tensor-sampling surgery."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -185,3 +187,75 @@ def test_classification_to_detection_transfer(tmp_path):
     )
     out = det_module.apply(new_vars, det_example(), train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestWeightFetch:
+    """Offline tests of the checksum-verified fetch (`compat/fetch.py`, the
+    role of `keras_utils.get_file` + md5 in `resnet_dct.py:295-308`)."""
+
+    def _make_source(self, tmp_path, data=b"weights-bytes-v1"):
+        import hashlib
+
+        src = tmp_path / "src" / "model.h5"
+        src.parent.mkdir()
+        src.write_bytes(data)
+        return str(src), hashlib.md5(data).hexdigest()
+
+    def test_fetch_verify_and_cache(self, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.compat import fetch_weights
+
+        src, md5 = self._make_source(tmp_path)
+        cache = str(tmp_path / "cache")
+        p1 = fetch_weights(src, checksum=md5, cache_dir=cache)
+        assert p1 == os.path.join(cache, "model.h5")
+        assert open(p1, "rb").read() == b"weights-bytes-v1"
+        # second call hits the cache (delete the source to prove it)
+        os.remove(src)
+        p2 = fetch_weights(src, checksum=md5, cache_dir=cache)
+        assert p2 == p1
+
+    def test_checksum_mismatch_raises(self, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.compat import (
+            ChecksumError,
+            fetch_weights,
+        )
+
+        src, _ = self._make_source(tmp_path)
+        with pytest.raises(ChecksumError, match="md5 mismatch"):
+            fetch_weights(src, checksum="0" * 32,
+                          cache_dir=str(tmp_path / "cache"))
+        # failed fetch leaves no partial or final file behind
+        assert os.listdir(tmp_path / "cache") == []
+
+    def test_corrupted_cache_refetched(self, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.compat import fetch_weights
+
+        src, md5 = self._make_source(tmp_path)
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        (cache / "model.h5").write_bytes(b"corrupted")
+        p = fetch_weights(src, checksum="md5:" + md5, cache_dir=str(cache))
+        assert open(p, "rb").read() == b"weights-bytes-v1"
+
+    def test_sha256_and_file_url(self, tmp_path):
+        import hashlib
+
+        from jpeg_detection_resnet_ssd_tpu.compat import fetch_weights
+
+        src, _ = self._make_source(tmp_path)
+        sha = hashlib.sha256(b"weights-bytes-v1").hexdigest()
+        p = fetch_weights("file://" + src, checksum="sha256:" + sha,
+                          cache_dir=str(tmp_path / "cache"))
+        assert os.path.exists(p)
+
+    def test_known_weights_registry(self, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.compat.fetch import (
+            KNOWN_WEIGHTS,
+            fetch_known_weights,
+        )
+
+        # the reference's two md5s are registered verbatim
+        assert (KNOWN_WEIGHTS["resnet50_tf_kernels"]["checksum"]
+                == "md5:a7b3fe01876f51b976af0dea6bc144eb")
+        with pytest.raises(KeyError, match="unknown weights"):
+            fetch_known_weights("nope")

@@ -364,6 +364,27 @@ class TestPipelines:
         back = inv(boxes)
         np.testing.assert_allclose(back[0, -4:], [0, 0, 300, 200], atol=1e-3)
 
+    def test_dct_255_format(self, voc_root):
+        """`input_format='dct_255'` reproduces the reference's 0-255
+        coefficient mapping `(x + 1024) * 255 // 2048` applied to the
+        jpegdecoder spatial layout
+        (`object_detection_2d_data_generator_dct_255.py:1174-1184`)."""
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        p255 = DetectionPipeline(ds, 2, train=False, encoder=None,
+                                 input_format="dct_255", num_workers=2)
+        praw = DetectionPipeline(ds, 2, train=False, encoder=None,
+                                 input_format="dct_image", num_workers=2)
+        b255 = next(iter(p255))["inputs"]
+        braw = next(iter(praw))["inputs"]
+        assert b255.shape == braw.shape == (2, 300, 300, 3)
+        expected = (braw.astype(np.int64) + 1024) * 255 // 2048
+        np.testing.assert_array_equal(b255, expected.astype(np.float32))
+        assert b255.min() >= 0 and b255.max() <= 255
+
     def test_epoch_determinism(self, imagenet_root):
         ds = ImageFolderDataset(imagenet_root)
         p1 = ClassificationPipeline(ds, 4, train=True, seed=7, num_workers=2)
@@ -518,6 +539,32 @@ class TestPackedDct:
                                shard_count=2)
         assert len(s0.indices) + len(s1.indices) == len(again)
         assert set(s0.indices).isdisjoint(s1.indices)
+
+    def test_native_pack_parity(self, voc_root, tmp_path):
+        """The one-C++-call pack path (`dctjpeg.pack`) must produce the same
+        corpus as the Python PIL/cv2 path it replaces: identical coefficients
+        and identically rescaled boxes."""
+        from jpeg_detection_resnet_ssd_tpu.data.packed import PackedDctDataset
+
+        ds = DetectionDataset.from_voc(
+            os.path.join(voc_root, "JPEGImages"),
+            os.path.join(voc_root, "ImageSets", "trainval.txt"),
+            os.path.join(voc_root, "Annotations"),
+        )
+        nat = PackedDctDataset.create(
+            ds, str(tmp_path / "nat"), img_height=352, img_width=352,
+            max_gt=8, num_workers=2, use_native=True,
+        )
+        py = PackedDctDataset.create(
+            ds, str(tmp_path / "py"), img_height=352, img_width=352,
+            max_gt=8, num_workers=2, use_native=False,
+        )
+        np.testing.assert_array_equal(np.asarray(nat.y), np.asarray(py.y))
+        np.testing.assert_array_equal(
+            np.asarray(nat.cbcr), np.asarray(py.cbcr)
+        )
+        np.testing.assert_allclose(nat.gt, py.gt, atol=1e-4)
+        np.testing.assert_array_equal(nat.gt_mask, py.gt_mask)
 
     def test_classification_pack_and_device_augment(self, imagenet_root,
                                                     tmp_path):

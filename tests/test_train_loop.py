@@ -169,6 +169,38 @@ def test_compute_map_cli(tmp_path):
     assert out["mAP"] == pytest.approx(1.0 / 20.0)
 
 
+def test_device_augment_flag_guards():
+    """--device-augment on a non-dct input format and --pack-cache without
+    --device-augment fail loud instead of silently training a different
+    recipe (ADVICE.md round 2)."""
+    from types import SimpleNamespace
+
+    from jpeg_detection_resnet_ssd_tpu.cli.main import (
+        _check_device_augment_flags,
+    )
+
+    cfg_rgb = SimpleNamespace(input_format="rgb")
+    cfg_dct = SimpleNamespace(input_format="dct")
+    with pytest.raises(SystemExit, match="device-augment requires"):
+        _check_device_augment_flags(
+            SimpleNamespace(device_augment=True, pack_cache=None,
+                            archi="rgb"),
+            cfg_rgb,
+        )
+    with pytest.raises(SystemExit, match="pack-cache only"):
+        _check_device_augment_flags(
+            SimpleNamespace(device_augment=False, pack_cache="/tmp/x",
+                            archi=None),
+            cfg_dct,
+        )
+    # valid combination passes silently
+    _check_device_augment_flags(
+        SimpleNamespace(device_augment=True, pack_cache="/tmp/x",
+                        archi=None),
+        cfg_dct,
+    )
+
+
 def test_bf16_compute_dtype_plumbs(tmp_path):
     """config.compute_dtype='bfloat16' reaches the model's compute dtype."""
     import jax.numpy as jnp
