@@ -1,22 +1,36 @@
-"""Benchmark: DCT-SSD300 (ssd_custom) end-to-end inference throughput on TPU.
+"""Benchmark: DCT-SSD300 (ssd_custom) throughput on TPU — all headline paths.
 
-Measures the flagship detector — forward pass + full in-graph decode (per-class
-NMS + global top-k), i.e. the work the reference does in 'inference' mode
-(`keras_ssd300_dct_j2d_resnet.py:884-896`) — in images/sec on one chip.
+Emits one JSON line per metric (the driver-scored headline LAST):
 
-Methodology (important): N executions are CHAINED inside one jitted program
-via a data dependency (each iteration's input is perturbed by the previous
-output), and completion is forced by a host readback of the final scalar.
-Plain `block_until_ready` loops over-report by >20x under this environment's
-TPU relay (async acks) — see BENCHMARK.md "measurement integrity".
+  * matmul_calibration_bf16 / _f32_highest — pure 4096^3 matmul TFLOP/s to
+    pin the chip's honest achievable peak (the cost-model denominator);
+  * dct_ssd300_forward_throughput — forward pass only, bf16;
+  * dct_ssd300_train_step_throughput — full training step (fwd + SSD loss w/
+    hard-negative mining + backward + SGD update + in-step target encode);
+  * dct_ssd300_train_augmented_throughput — training step plus the FULL v3
+    device augmentation chain (photometric + expand + min-IoU crop + resize
+    + flip in coefficient space) — the `--device-augment` production path;
+  * packed_pipeline_host_throughput — host-side packed-corpus batch assembly
+    (memmap gather + int16 cast), no TPU involved;
+  * dct_ssd300_inference_throughput — forward + full decode (softmax,
+    per-class threshold, NMS, top-k), the serving path and driver headline.
+
+Methodology (BENCHMARK.md "measurement integrity"): N executions are CHAINED
+inside one jitted program via a data dependency and completion is forced by a
+host readback.  This environment's TPU relay additionally adds a ~25 ms FIXED
+round-trip per dispatch (measured: a 4096^3 matmul chain of 30 reads 1.57
+ms/iter while a chain of 200 reads 0.85; the slope gives 0.72), so every
+per-iteration number here is the SLOPE between a short and a long chain —
+(T(4n) - T(n)) / 3n — which cancels the fixed cost exactly.  Naive
+block_until_ready loops over-report by 2-40x and single-chain timings
+over-report small kernels by overhead/n: neither appears below.
 
 Baseline: the reference never publishes throughput (BASELINE.md).  We bound
-the P100 reference at 100 images/sec: SSD300-class Keras/TF-1.8 graphs with
-in-graph per-class NMS ran at ~40-70 FPS on a P100 in contemporary reports,
-so 100 img/s is a generous upper bound for `vs_baseline` (values > 1.0 beat
-the bound; the north-star is >= 5.0).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+the P100 reference at 100 images/sec for inference (SSD300-class Keras/TF-1.8
+graphs with in-graph NMS ran at ~40-70 FPS on contemporary P100 reports) and
+89 img/s for training (implied by its >48 h single-P100 480k-step schedule,
+`README.md:130-131`).  vs_baseline > 1.0 beats the bound; the north-star is
+>= 5.0.
 """
 
 from __future__ import annotations
@@ -25,70 +39,335 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-P100_BASELINE_IMAGES_PER_SEC = 100.0
+P100_INFER_BASELINE = 100.0
+P100_TRAIN_BASELINE = 89.0
 BATCH = 32
-CHAIN = 20
+CHAIN = 10  # short chain; the long chain is 4x this
 TRIALS = 3
 
 
-def main():
-    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
-    from jpeg_detection_resnet_ssd_tpu.models import build_model, make_inference_fn
+def slope_seconds(build_chained, n, trials=TRIALS):
+    """Per-iteration seconds as the slope between chains of n and 4n."""
+    short, long = build_chained(n), build_chained(4 * n)
 
-    # Production serving path: bfloat16 forward (params f32, compute bf16 —
-    # convergence/accuracy equivalence pinned in tests), decode in f32 with
-    # the Pallas NMS kernel + shared candidate pool (BENCHMARK.md).
-    module, _ = build_model(
-        "ssd300_ssd_custom", n_classes=20, dtype=jnp.bfloat16
+    def best_of(f):
+        val = float(f())  # compile + warm
+        assert np.isfinite(val), f"non-finite chained value {val}"
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = best_of(short)
+    t_long = best_of(long)
+    return max(t_long - t_short, 1e-9) / (3 * n)
+
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    row = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs_baseline is not None:
+        row["vs_baseline"] = round(vs_baseline, 3)
+    row.update(extra)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def bench_matmul_calibration():
+    import jax
+    import jax.numpy as jnp
+
+    k = 4096
+    flops = 2 * k**3
+    a = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.02, (k, k)), jnp.bfloat16
     )
+
+    def build(n):
+        @jax.jit
+        def chained():
+            def body(c, _):
+                return c @ a, None
+
+            out, _ = jax.lax.scan(body, a, None, length=n)
+            return jnp.sum(out).astype(jnp.float32)
+
+        return chained
+
+    t = slope_seconds(build, 50)
+    emit("matmul_calibration_bf16", flops / t / 1e12, "TFLOP/s",
+         note="achievable chip peak; v5e nominal bf16 is ~197")
+
+    a32 = a.astype(jnp.float32)
+
+    def build32(n):
+        @jax.jit
+        def chained():
+            def body(c, _):
+                return (
+                    jnp.dot(c, a32, precision=jax.lax.Precision.HIGHEST),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, a32, None, length=n)
+            return jnp.sum(out)
+
+        return chained
+
+    t32 = slope_seconds(build32, 12)
+    emit("matmul_calibration_f32_highest", flops / t32 / 1e12, "TFLOP/s",
+         note="true f32 (6-pass); default-precision 'f32' matmuls run as "
+              "single-pass bf16 on TPU")
+    return flops / t / 1e12
+
+
+def _flagship(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.models import build_model
+
+    module, _ = build_model("ssd300_ssd_custom", n_classes=20, dtype=dtype)
     rng = np.random.default_rng(0)
-    y = rng.normal(0, 100, (BATCH, 38, 38, 64)).astype(np.float32)
-    cbcr = rng.normal(0, 30, (BATCH, 19, 19, 128)).astype(np.float32)
-    variables = module.init(jax.random.PRNGKey(0), (y[:1], cbcr[:1]), train=False)
+    y = jnp.asarray(rng.normal(0, 100, (BATCH, 38, 38, 64)), jnp.float32)
+    cbcr = jnp.asarray(rng.normal(0, 30, (BATCH, 19, 19, 128)), jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0), (y[:1], cbcr[:1]), train=False
+    )
+    return module, variables, y, cbcr
+
+
+def bench_forward(module, variables, y, cbcr):
+    import jax
+    import jax.numpy as jnp
+
+    def build(n):
+        @jax.jit
+        def chained():
+            def body(c, _):
+                out = module.apply(variables, (c, cbcr), train=False)
+                ds = jnp.sum(out).astype(jnp.float32) * 1e-12
+                return c + ds, None
+
+            out, _ = jax.lax.scan(body, y, None, length=n)
+            return jnp.sum(out).astype(jnp.float32)
+
+        return chained
+
+    t = slope_seconds(build, CHAIN)
+    return emit(
+        "dct_ssd300_forward_throughput", BATCH / t, "images/sec/chip",
+        vs_baseline=BATCH / t / P100_INFER_BASELINE,
+        ms_per_batch=round(t * 1e3, 2),
+    )
+
+
+def _train_setup():
+    import jax.numpy as jnp
+    import optax
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+    from jpeg_detection_resnet_ssd_tpu.losses import SSDLoss
+    from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
+
+    encoder = TargetEncoder(
+        spec=AnchorSpec(),
+        predictor_sizes=ssd_predictor_sizes("resnet_custom"),
+        n_classes=20,
+    )
+    gt = np.zeros((BATCH, 8, 5), np.float32)
+    gt[:, 0] = [3, 30, 40, 160, 170]
+    gt[:, 1] = [7, 150, 60, 280, 240]
+    gt_mask = np.zeros((BATCH, 8), bool)
+    gt_mask[:, :2] = True
+    return (
+        encoder,
+        jnp.asarray(gt),
+        jnp.asarray(gt_mask),
+        SSDLoss(),
+        optax.sgd(1e-3, momentum=0.9),
+    )
+
+
+def bench_train_step(module, variables, y, cbcr, augmented=False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    encoder, gt, gt_mask, loss_obj, tx = _train_setup()
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    aug = None
+    y_in, c_in = y, cbcr
+    if augmented:
+        from jpeg_detection_resnet_ssd_tpu.boxes import (
+            AnchorSpec,
+            TargetEncoder,
+        )
+        from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v3,
+        )
+
+        aug = make_dct_detection_augment_v3(out_y_blocks=38)
+        rng = np.random.default_rng(1)
+        # oversized 44-block source frame, as shipped by the packed pipeline
+        y_in = jnp.asarray(
+            rng.normal(0, 100, (BATCH, 44, 44, 64)), jnp.float32
+        )
+        c_in = jnp.asarray(
+            rng.normal(0, 30, (BATCH, 22, 22, 128)), jnp.float32
+        )
+        encoder = TargetEncoder(
+            spec=AnchorSpec(img_height=304, img_width=304),
+            predictor_sizes=ssd_predictor_sizes("resnet_custom"),
+            n_classes=20,
+        )
+
+    def build(n):
+        @jax.jit
+        def chained():
+            def body(carry, i):
+                p, o = carry
+                if aug is not None:
+                    batch = {
+                        "inputs": (y_in, c_in), "gt": gt, "gt_mask": gt_mask
+                    }
+                    batch = aug(batch, jax.random.fold_in(
+                        jax.random.PRNGKey(0), i))
+                    yy, cc = batch["inputs"]
+                    tgt = encoder.encode_fn(batch["gt"], batch["gt_mask"])
+                else:
+                    yy, cc = y_in, c_in
+                    tgt = encoder.encode_fn(gt, gt_mask)
+
+                def loss_of(pp):
+                    out, _ = module.apply(
+                        {"params": pp, "batch_stats": batch_stats},
+                        (yy, cc), train=True, mutable=["batch_stats"],
+                    )
+                    return loss_obj(tgt, out.astype(jnp.float32))
+
+                loss, grads = jax.value_and_grad(loss_of)(p)
+                updates, o2 = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o2), loss
+
+            (p_out, _), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n)
+            )
+            first = jax.tree_util.tree_leaves(p_out)[0]
+            return jnp.sum(first).astype(jnp.float32) + jnp.sum(losses)
+
+        return chained
+
+    t = slope_seconds(build, CHAIN)
+    name = ("dct_ssd300_train_augmented_throughput" if augmented
+            else "dct_ssd300_train_step_throughput")
+    return emit(
+        name, BATCH / t, "images/sec/chip",
+        vs_baseline=BATCH / t / P100_TRAIN_BASELINE,
+        ms_per_batch=round(t * 1e3, 2),
+    )
+
+
+def bench_packed_pipeline():
+    """Host-side packed-corpus batch assembly (no TPU): memmap gather +
+    int16 cast, the per-epoch host work of the --pack-cache path."""
+    import os
+    import tempfile
+
+    from jpeg_detection_resnet_ssd_tpu.data.packed import (
+        PackedDctDataset,
+        PackedDctPipeline,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        stem = os.path.join(td, "bench_corpus")
+        n = 256
+        h8 = 44
+        rng = np.random.default_rng(0)
+        y = (rng.normal(0, 100, (n, h8, h8, 64))).astype(np.int16)
+        cbcr = (rng.normal(0, 30, (n, h8 // 2, h8 // 2, 128))).astype(
+            np.int16
+        )
+        np.save(stem + ".y.npy", y)
+        np.save(stem + ".cbcr.npy", cbcr)
+        gt = np.zeros((n, 8, 5), np.float32)
+        gt_mask = np.zeros((n, 8), bool)
+        np.savez(stem + ".labels.npz", gt=gt, gt_mask=gt_mask,
+                 image_ids=np.asarray([str(i) for i in range(n)]))
+        with open(stem + ".meta.json", "w") as f:
+            json.dump({"n": n, "img_height": h8 * 8, "img_width": h8 * 8,
+                       "max_gt": 8, "quality": 75}, f)
+        ds = PackedDctDataset(stem)
+        pipe = PackedDctPipeline(ds, BATCH, train=True, seed=0,
+                                 ship_dtype="int16")
+        # warm the page cache
+        for _ in pipe:
+            pass
+        t0 = time.perf_counter()
+        epochs = 5
+        count = 0
+        for _ in range(epochs):
+            for batch in pipe:
+                count += batch["inputs"][0].shape[0]
+        dt = time.perf_counter() - t0
+    return emit(
+        "packed_pipeline_host_throughput", count / dt, "images/sec/host",
+        note="memmap gather + int16 cast; no TPU involved",
+    )
+
+
+def bench_inference(module, variables, y, cbcr):
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.models import make_inference_fn
+
     # Serving opts into the shared candidate pool explicitly (the library
     # default is the reference's literal 'exact' per-class selector).
     decode = make_inference_fn(
         n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
     )
 
-    @jax.jit
-    def chained(variables, y, cbcr):
-        def body(carry, _):
-            acc, yy = carry
-            preds = module.apply(variables, (yy, cbcr), train=False)
-            out = decode(preds.astype(jnp.float32))
-            ds = jnp.sum(out[:, :, 1])
-            # Perturb the next input by the previous output: a true data
-            # dependency, so the device must execute all CHAIN iterations.
-            return (acc + ds, y + ds * 1e-9), None
+    def build(n):
+        @jax.jit
+        def chained():
+            def body(c, _):
+                preds = module.apply(variables, (c, cbcr), train=False)
+                out = decode(preds.astype(jnp.float32))
+                ds = jnp.sum(out[:, :, 1])
+                return c + ds * 1e-9, None
 
-        (acc, _), _ = jax.lax.scan(body, (0.0, y), None, length=CHAIN)
-        return acc
+            out, _ = jax.lax.scan(body, y, None, length=n)
+            return jnp.sum(out).astype(jnp.float32)
 
-    y_d = jax.device_put(y)
-    cbcr_d = jax.device_put(cbcr)
-    float(chained(variables, y_d, cbcr_d))  # compile + warm
+        return chained
 
-    best = 0.0
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        val = float(chained(variables, y_d, cbcr_d))  # readback = completion
-        dt = time.perf_counter() - t0
-        best = max(best, BATCH * CHAIN / dt)
-        assert np.isfinite(val)
+    t = slope_seconds(build, CHAIN)
+    return emit(
+        "dct_ssd300_inference_throughput", BATCH / t, "images/sec/chip",
+        vs_baseline=BATCH / t / P100_INFER_BASELINE,
+        ms_per_batch=round(t * 1e3, 2),
+    )
 
-    result = {
-        "metric": "dct_ssd300_inference_throughput",
-        "value": round(best, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / P100_BASELINE_IMAGES_PER_SEC, 3),
-    }
-    print(json.dumps(result))
-    return result
+
+def main():
+    import jax.numpy as jnp
+
+    bench_matmul_calibration()
+    module, variables, y, cbcr = _flagship(jnp.bfloat16)
+    bench_forward(module, variables, y, cbcr)
+    bench_train_step(module, variables, y, cbcr, augmented=False)
+    bench_train_step(module, variables, y, cbcr, augmented=True)
+    bench_packed_pipeline()
+    # driver-scored headline LAST
+    return bench_inference(module, variables, y, cbcr)
 
 
 if __name__ == "__main__":

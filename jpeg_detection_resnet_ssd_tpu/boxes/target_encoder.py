@@ -36,6 +36,7 @@ import numpy as np
 from jpeg_detection_resnet_ssd_tpu.boxes import geometry
 from jpeg_detection_resnet_ssd_tpu.boxes import matching
 from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec, build_anchors
+from jpeg_detection_resnet_ssd_tpu.ops.pallas_match import bipartite_match
 
 
 def encode_targets(
@@ -52,6 +53,7 @@ def encode_targets(
     normalize_coords: bool = True,
     matching_type: str = "multi",
     log_scale_offsets: bool = True,
+    bipartite_impl: str = "auto",
 ) -> jax.Array:
     """Encode one image's padded GT into the SSD training target.
 
@@ -86,46 +88,47 @@ def encode_targets(
     )
     sims = jnp.where(gt_mask[:, None], sims, matching._NEG)
 
-    # -- 1: bipartite matching (sequential greedy). Track per-anchor GT index.
     max_gt = gt.shape[0]
 
-    def bip_body(_, state):
-        s, assigned = state
-        anchor_idx = jnp.argmax(s, axis=1)
-        row_best = jnp.take_along_axis(s, anchor_idx[:, None], axis=1)[:, 0]
-        g = jnp.argmax(row_best)
-        a = anchor_idx[g]
-        valid = row_best[g] >= 0.0
-        assigned = assigned.at[a].set(
-            jnp.where(valid, g.astype(jnp.int32), assigned[a])
-        )
-        row_kill = jnp.where(valid, jnp.arange(max_gt) == g, False)
-        col_kill = jnp.where(valid, jnp.arange(n_boxes) == a, False)
-        s = jnp.where(row_kill[:, None] | col_kill[None, :], matching._NEG, s)
-        return s, assigned
+    # Per-anchor (column-wise) best GT over the full matrix — computed ONCE.
+    # Multi matching and the neutral zone are column-LOCAL decisions: the
+    # reference clears matched COLUMNS before each stage
+    # (`ssd_input_encoder.py:366-390`), but clearing a column only changes
+    # that column's own max, and matched columns are excluded from the later
+    # stages anyway — so one pass over the matrix suffices for both.
+    col_best_gt = jnp.argmax(sims, axis=0).astype(jnp.int32)
+    col_best_sim = jnp.max(sims, axis=0)
 
-    assigned0 = jnp.full((n_boxes,), -1, dtype=jnp.int32)
-    sims_after, assigned = jax.lax.fori_loop(0, max_gt, bip_body, (sims, assigned0))
+    # -- 1: bipartite matching (sequential greedy, reference semantics:
+    # repeatedly take the globally-best (gt, anchor) pair, consume both) —
+    # a while loop bounded by the VALID GT count (see `ops/pallas_match.py`
+    # for the measurement story behind this choice).
+    bip_anchor = bipartite_match(sims, impl=bipartite_impl)
+    # scatter the <= max_gt bipartite pairs into the per-anchor assignment
+    assigned = jnp.full((n_boxes,), -1, dtype=jnp.int32)
+    assigned = assigned.at[
+        jnp.where(bip_anchor >= 0, bip_anchor, n_boxes)
+    ].set(jnp.arange(max_gt, dtype=jnp.int32), mode="drop")
 
-    # -- 2: multi matching on the remaining similarity matrix.
+    # -- 2: multi matching on the remaining columns (all GT rows alive —
+    # an anchor whose best GT was bipartite-matched still multi-matches).
     if matching_type == "multi":
-        best_gt = jnp.argmax(sims_after, axis=0).astype(jnp.int32)
-        best_sim = jnp.max(sims_after, axis=0)
-        multi_hit = (assigned < 0) & (best_sim >= pos_iou_threshold)
-        assigned = jnp.where(multi_hit, best_gt, assigned)
-        sims_after = jnp.where(multi_hit[None, :], matching._NEG, sims_after)
+        multi_hit = (assigned < 0) & (col_best_sim >= pos_iou_threshold)
+        assigned = jnp.where(multi_hit, col_best_gt, assigned)
 
     # -- 3: neutral zone.
-    max_bg_sim = jnp.max(sims_after, axis=0)
-    neutral = (assigned < 0) & (max_bg_sim >= neg_iou_limit)
+    neutral = (assigned < 0) & (col_best_sim >= neg_iou_limit)
 
-    # -- 4: assemble outputs.
+    # -- 4: assemble outputs.  Row-gathers from the tiny GT tables are slow
+    # on TPU (per-element dynamic gathers); expressed as one-hot matmuls
+    # they ride the MXU instead.
     positive = assigned >= 0
     safe_idx = jnp.clip(assigned, 0, max_gt - 1)
-    matched_cent = cent[safe_idx]  # (n_boxes, 4)
-    matched_cls = cls_ids[safe_idx]  # (n_boxes,)
+    assign_oh = jax.nn.one_hot(safe_idx, max_gt, dtype=jnp.float32)
+    matched_cent = assign_oh @ cent  # (n_boxes, 4)
+    cls_table = jax.nn.one_hot(cls_ids, n_total, dtype=jnp.float32)
+    one_hot_pos = assign_oh @ cls_table  # (n_boxes, n_total)
 
-    one_hot_pos = jax.nn.one_hot(matched_cls, n_total, dtype=jnp.float32)
     one_hot_bg = jax.nn.one_hot(
         jnp.zeros((n_boxes,), jnp.int32), n_total, dtype=jnp.float32
     )
@@ -171,6 +174,7 @@ class TargetEncoder:
     border_pixels: str = "half"
     matching_type: str = "multi"
     log_scale_offsets: bool = True
+    bipartite_impl: str = "auto"
 
     @functools.cached_property
     def anchors(self) -> np.ndarray:
@@ -198,6 +202,7 @@ class TargetEncoder:
             normalize_coords=self.spec.normalize_coords,
             matching_type=self.matching_type,
             log_scale_offsets=self.log_scale_offsets,
+            bipartite_impl=self.bipartite_impl,
         )
         return jax.vmap(fn)
 
@@ -216,6 +221,7 @@ class TargetEncoder:
             normalize_coords=self.spec.normalize_coords,
             matching_type=self.matching_type,
             log_scale_offsets=self.log_scale_offsets,
+            bipartite_impl=self.bipartite_impl,
         )
         return jax.jit(jax.vmap(fn))
 

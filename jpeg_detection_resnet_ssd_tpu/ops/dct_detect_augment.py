@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
     _flip_h_jnp,
@@ -122,8 +123,10 @@ def dct_detection_expand(
 
 
 # Caffe-SSD min-IoU sample space (`data_augmentation_chain_original_ssd.py:36`);
-# -1 encodes "no requirement".
-_IOU_BOUNDS = jnp.asarray([-1.0, 0.1, 0.3, 0.5, 0.7, 0.9], jnp.float32)
+# -1 encodes "no requirement".  Kept as a NumPy constant: a module-level jnp
+# array would become a leaked tracer if this module is first imported while a
+# jit trace is active.
+_IOU_BOUNDS = np.asarray([-1.0, 0.1, 0.3, 0.5, 0.7, 0.9], np.float32)
 
 
 def _patch_gt_iou(x0px, y0px, w_px, h_px, gt, gt_mask):
@@ -258,7 +261,7 @@ def dct_detection_min_iou_crop_flip(
     max_x0 = (W8 - out_y_blocks) // 2
     out_px = out_y_blocks * 8
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    bounds = _IOU_BOUNDS[
+    bounds = jnp.asarray(_IOU_BOUNDS)[
         jax.random.randint(k1, (B,), 0, _IOU_BOUNDS.shape[0])
     ]
     y0s = jax.random.randint(k2, (B, n_trials), 0, max_y0 + 1)
@@ -381,7 +384,7 @@ def dct_detection_random_resized_crop(
     py = jax.random.uniform(keys[2], (B,)) * (ch_canvas - H)
     px = jax.random.uniform(keys[3], (B,)) * (cw_canvas - W)
 
-    bounds = _IOU_BOUNDS[
+    bounds = jnp.asarray(_IOU_BOUNDS)[
         jax.random.randint(keys[4], (B,), 0, _IOU_BOUNDS.shape[0])
     ]
     s_h = jax.random.uniform(keys[5], (B, n_trials), minval=scale_min,

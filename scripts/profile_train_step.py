@@ -1,0 +1,271 @@
+"""Component-wise profile of the flagship bf16 detection train step on TPU.
+
+Measures, under the honest chained protocol (BENCHMARK.md "measurement
+integrity": N executions chained in ONE jit via a data dependency, completion
+forced by host readback), the cost of each piece of the compiled training
+program to locate the non-MXU tail that holds bf16 MFU below the chip peak:
+
+  * full train step (fwd + SSD loss + backward + SGD update [+ encode/augment])
+  * forward only (train mode, BN mutation)
+  * value_and_grad without the optimizer update
+  * SSD loss alone on fixed tensors (isolates the hard-negative argsort)
+  * in-step target encoder alone
+  * device augmentation chain alone
+  * SGD update alone (optimizer memory traffic)
+
+Usage: python scripts/profile_train_step.py [--batch 32] [--chain 10]
+Prints one JSON object per measurement and a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+import numpy as np
+
+
+def chained_seconds(step_fn, carry, n, trials=3):
+    """Slope-based seconds per execution of `step_fn` under the chained
+    protocol.
+
+    `step_fn(carry) -> carry` must thread a real data dependency; the carry
+    reduces to one scalar read back on host.  Every dispatch through this
+    environment's TPU relay carries a ~25 ms FIXED round trip, so a single
+    chain length over-reports small kernels by overhead/n; timing chains of
+    length n and 4n and taking the slope (T(4n) - T(n)) / 3n cancels the
+    fixed cost exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def build(length):
+        @jax.jit
+        def chained(carry):
+            def body(c, _):
+                return step_fn(c), None
+
+            out, _ = jax.lax.scan(body, carry, None, length=length)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+
+        return chained
+
+    short, long = build(n), build(4 * n)
+
+    def best_of(f):
+        val = float(f(carry))  # compile + warm
+        assert np.isfinite(val), f"non-finite chained value {val}"
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f(carry))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = best_of(short)
+    t_long = best_of(long)
+    return max(t_long - t_short, 1e-9) / (3 * n)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--augment", action="store_true",
+                    help="include the device augmentation chain variants")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+    from jpeg_detection_resnet_ssd_tpu.losses import SSDLoss
+    from jpeg_detection_resnet_ssd_tpu.models import (
+        build_model,
+        ssd_predictor_sizes,
+    )
+
+    B = args.batch
+    dtype = jnp.dtype(args.dtype).type
+    module, _ = build_model("ssd300_ssd_custom", n_classes=20, dtype=dtype)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0, 100, (B, 38, 38, 64)), jnp.float32)
+    cbcr = jnp.asarray(rng.normal(0, 30, (B, 19, 19, 128)), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), (y[:1], cbcr[:1]),
+                            train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    encoder = TargetEncoder(
+        spec=AnchorSpec(),
+        predictor_sizes=ssd_predictor_sizes("resnet_custom"),
+        n_classes=20,
+    )
+    gt = np.zeros((B, 8, 5), np.float32)
+    gt[:, 0] = [3, 30, 40, 160, 170]
+    gt[:, 1] = [7, 150, 60, 280, 240]
+    gt_mask = np.zeros((B, 8), bool)
+    gt_mask[:, :2] = True
+    gt = jnp.asarray(gt)
+    gt_mask = jnp.asarray(gt_mask)
+    targets = encoder.encode_fn(gt, gt_mask)
+
+    loss_obj = SSDLoss()
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+
+    results = {}
+
+    def record(name, seconds):
+        results[name] = seconds * 1e3
+        print(json.dumps({"component": name, "ms_per_batch":
+                          round(seconds * 1e3, 3),
+                          "img_per_s": round(B / seconds, 1)}), flush=True)
+
+    # 1) forward only, train mode (BN mutation like the real step)
+    def fwd(c):
+        yy, _ = c
+        out, mut = module.apply(
+            {"params": params, "batch_stats": batch_stats}, (yy, cbcr),
+            train=True, mutable=["batch_stats"],
+        )
+        ds = jnp.sum(out).astype(jnp.float32) * 1e-12
+        return (yy + ds, ds)
+
+    record("forward_train_mode", chained_seconds(fwd, (y, jnp.float32(0)),
+                                                 args.chain))
+
+    # 2) forward + loss + grad (no optimizer)
+    def fwd_bwd(c):
+        yy, _ = c
+
+        def loss_of(p):
+            out, mut = module.apply(
+                {"params": p, "batch_stats": batch_stats}, (yy, cbcr),
+                train=True, mutable=["batch_stats"],
+            )
+            return loss_obj(targets, out.astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        gsum = sum(jnp.sum(g).astype(jnp.float32)
+                   for g in jax.tree_util.tree_leaves(grads))
+        return (yy + loss * 1e-9 + gsum * 1e-20, loss)
+
+    record("forward_backward_loss",
+           chained_seconds(fwd_bwd, (y, jnp.float32(0)), args.chain))
+
+    # 3) full train step (grads + SGD update), donating nothing (carry keeps
+    # params so the chain is a true sequential dependency)
+    def full_step(c):
+        p, o, yy = c
+
+        def loss_of(pp):
+            out, mut = module.apply(
+                {"params": pp, "batch_stats": batch_stats}, (yy, cbcr),
+                train=True, mutable=["batch_stats"],
+            )
+            return loss_obj(targets, out.astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_of)(p)
+        updates, o2 = tx.update(grads, o, p)
+        p2 = optax.apply_updates(p, updates)
+        return (p2, o2, yy + loss * 1e-9)
+
+    record("train_step", chained_seconds(
+        full_step, (params, opt_state, y), args.chain))
+
+    # 3b) full train step + in-step encode
+    def full_step_encode(c):
+        p, o, yy = c
+        tgt = encoder.encode_fn(gt, gt_mask)
+
+        def loss_of(pp):
+            out, _ = module.apply(
+                {"params": pp, "batch_stats": batch_stats}, (yy, cbcr),
+                train=True, mutable=["batch_stats"],
+            )
+            return loss_obj(tgt, out.astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_of)(p)
+        updates, o2 = tx.update(grads, o, p)
+        p2 = optax.apply_updates(p, updates)
+        return (p2, o2, yy + loss * 1e-9)
+
+    record("train_step_with_encode", chained_seconds(
+        full_step_encode, (params, opt_state, y), args.chain))
+
+    # 4) SSD loss alone (the hard-negative argsort candidate)
+    preds = module.apply({"params": params, "batch_stats": batch_stats},
+                         (y, cbcr), train=False).astype(jnp.float32)
+
+    def loss_only(c):
+        t, acc = c
+        l = loss_obj(t, preds + acc * 1e-9)
+        return (t, acc + l * 1e-6)
+
+    record("ssd_loss_only", chained_seconds(
+        loss_only, (targets, jnp.float32(0)), args.chain * 4))
+
+    # 4b) SSD loss gradient alone
+    def loss_grad_only(c):
+        t, acc = c
+        g = jax.grad(lambda pr: loss_obj(t, pr))(preds + acc * 1e-9)
+        return (t, acc + jnp.sum(g).astype(jnp.float32) * 1e-6)
+
+    record("ssd_loss_grad_only", chained_seconds(
+        loss_grad_only, (targets, jnp.float32(0)), args.chain * 4))
+
+    # 5) target encoder alone
+    def encode_only(c):
+        g, acc = c
+        t = encoder.encode_fn(g, gt_mask)
+        return (g + acc * 0, acc + jnp.sum(t).astype(jnp.float32) * 1e-9)
+
+    record("target_encode_only", chained_seconds(
+        encode_only, (gt, jnp.float32(0)), args.chain * 4))
+
+    # 6) SGD update alone (optimizer memory traffic)
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-6, params)
+
+    def sgd_only(c):
+        p, o = c
+        updates, o2 = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o2)
+
+    record("sgd_update_only", chained_seconds(
+        sgd_only, (params, opt_state), args.chain * 4))
+
+    # 7) device augmentation chain alone (optional)
+    if args.augment:
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v3,
+        )
+
+        aug = make_dct_detection_augment_v3(out_y_blocks=38)
+        y44 = jnp.asarray(rng.normal(0, 100, (B, 44, 44, 64)), jnp.float32)
+        c22 = jnp.asarray(rng.normal(0, 30, (B, 22, 22, 128)), jnp.float32)
+
+        def aug_only(c):
+            yy, acc = c
+            batch = {"inputs": (yy, c22), "gt": gt, "gt_mask": gt_mask}
+            out = aug(batch, jax.random.fold_in(jax.random.PRNGKey(0),
+                                                acc.astype(jnp.int32)))
+            oy, ocb = out["inputs"]
+            return (yy, acc + jnp.sum(oy).astype(jnp.float32) * 1e-9)
+
+        record("device_augment_only", chained_seconds(
+            aug_only, (y44, jnp.float32(0)), args.chain * 2))
+
+    print(json.dumps({"summary_ms": {k: round(v, 3)
+                                     for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,28 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: model-sized CPU compiles dominate suite
 # wall time; caching them across runs cuts repeat suites by minutes.
+# The cache dir is keyed by a host-CPU-feature fingerprint: XLA:CPU AOT
+# artifacts are NOT portable across machine types, and loading a cache
+# packed on a host with different vector extensions aborts the process
+# (cpu_aot_loader "machine feature not supported" -> SIGILL/abort).
+def _cpu_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 _cache_dir = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+    _cpu_fingerprint(),
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

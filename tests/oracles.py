@@ -107,6 +107,13 @@ def encode_targets_oracle(
         w[g, :] = -1.0
         w[:, a] = -1.0
 
+    # Reference semantics (`ssd_input_encoder.py:366-390`): the bipartite
+    # row/col kills live only inside `match_bipartite_greedy`'s copy; multi
+    # matching and the neutral zone see the ORIGINAL similarities with just
+    # the matched anchor COLUMNS cleared — all GT rows stay alive.
+    w = sims.copy()
+    w[:, assigned >= 0] = -1.0
+
     # multi matching
     best_gt = np.argmax(w, axis=0)
     best_sim = w[best_gt, np.arange(n_anchors)]

@@ -179,6 +179,51 @@ class TestTargetEncoder:
         n_pos = int((out[:, 1:21].max(axis=1) > 0).sum())
         assert n_pos >= k  # bipartite guarantees at least one anchor per GT
 
+    def test_multi_match_density_and_neutral_zone(self):
+        """Regression for the round-3 matching fix: multi matching and the
+        neutral zone operate on the ORIGINAL similarities with only matched
+        COLUMNS cleared (`ssd_input_encoder.py:366-390`), not on the
+        bipartite loop's row-killed working copy.  Reference invariants:
+        every anchor with IoU >= pos_iou_threshold to ANY GT is positive
+        (bipartite or multi — GT rows stay alive for multi), and any
+        non-positive anchor with max IoU in [neg_iou_limit, pos) is neutral.
+        The broken row-killed version yields exactly n_gt positives and zero
+        neutrals; verified to match the reference's own matching_utils on
+        randomized GT."""
+        from jpeg_detection_resnet_ssd_tpu.boxes import geometry
+
+        enc = self.make_encoder()
+        gt = np.zeros((2, 5), np.float32)
+        gt[0] = [3, 30, 40, 180, 190]
+        gt[1] = [7, 150, 60, 280, 240]
+        padded, mask = enc.pad_labels([gt], max_gt=8)
+        out = np.asarray(enc(padded, mask))[0]
+        pos = out[:, 1:21].max(axis=1) > 0
+        neutral = out[:, :21].sum(axis=1) == 0
+
+        anchors = enc.anchors
+        ac = anchors[:, :4]
+        corners = np.stack(
+            [ac[:, 0] - ac[:, 2] / 2, ac[:, 1] - ac[:, 3] / 2,
+             ac[:, 0] + ac[:, 2] / 2, ac[:, 1] + ac[:, 3] / 2], axis=1,
+        )
+        sims = np.asarray(geometry.iou_matrix(
+            np.asarray(gt[:, 1:5] / 300.0, np.float32),
+            np.asarray(corners, np.float32), coords="corners",
+        ))
+        max_iou = sims.max(axis=0)
+        # every >= 0.5 anchor is positive (this fails with the row-killed bug)
+        assert pos[max_iou >= 0.5].all()
+        assert pos.sum() > 2  # strictly more than bipartite-only
+        # the [0.3, 0.5) band that is not positive is entirely neutral
+        band = (max_iou >= 0.3) & ~pos
+        assert band.sum() > 0
+        assert neutral[band].all()
+        # and anchors below the neutral limit that are not positive stay
+        # plain background
+        bg = ~pos & (max_iou < 0.3)
+        assert (out[bg, 0] == 1).all()
+
     def test_batch_vmap(self, rng):
         enc = self.make_encoder()
         gts = [random_corner_boxes(rng, 2), random_corner_boxes(rng, 5)]

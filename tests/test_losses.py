@@ -118,3 +118,62 @@ class TestClassification:
         val = float(l2_regularization_loss(params, scale=0.5))
         # fc6 kernel (4 ones) + mbox kernel (3 ones) = 7; resnet excluded
         np.testing.assert_allclose(val, 0.5 * 7.0)
+
+
+class TestTopKSum:
+    """`top_k_sum` (binary-search k-th-largest threshold) vs numpy sort."""
+
+    def test_matches_sorted_sum(self):
+        rng = np.random.default_rng(0)
+        flat = np.abs(rng.normal(0, 3, (4096,))).astype(np.float32)
+        from jpeg_detection_resnet_ssd_tpu.losses.ssd_loss import top_k_sum
+
+        for k in (0, 1, 7, 100, 4095, 4096):
+            want = np.sort(flat)[::-1][:k].sum()
+            got = float(top_k_sum(jnp.asarray(flat), jnp.float32(k)))
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_ties_and_fractional_k(self):
+        from jpeg_detection_resnet_ssd_tpu.losses.ssd_loss import top_k_sum
+
+        flat = jnp.asarray([5.0, 3.0, 3.0, 3.0, 1.0, 0.0])
+        # k=2: 5 + one tie-copy of 3
+        np.testing.assert_allclose(float(top_k_sum(flat, 2.0)), 8.0)
+        # fractional n_keep behaves like ceil (rank < 2.5 keeps 3 ranks)
+        np.testing.assert_allclose(float(top_k_sum(flat, 2.5)), 11.0)
+        # k spanning all ties
+        np.testing.assert_allclose(float(top_k_sum(flat, 4.0)), 14.0)
+
+    def test_gradient_is_topk_mask(self):
+        from jpeg_detection_resnet_ssd_tpu.losses.ssd_loss import top_k_sum
+
+        flat = jnp.asarray([4.0, 2.0, 9.0, 1.0, 7.0])
+        g = jax.grad(lambda x: top_k_sum(x, 3.0))(flat)
+        np.testing.assert_allclose(np.asarray(g), [1, 0, 1, 0, 1])
+
+    def test_loss_value_unchanged_vs_argsort_formulation(self, ):
+        """The SSDLoss total with the threshold selection equals the original
+        rank-threshold/argsort formulation on random batches."""
+        rng = np.random.default_rng(3)
+        y_true, y_pred = make_fake_batch(rng)
+        loss = SSDLoss()
+        got = float(loss(jnp.asarray(y_true), jnp.asarray(y_pred)))
+
+        # argsort reference formulation, inline
+        yt, yp = jnp.asarray(y_true), jnp.asarray(y_pred)
+        cls = -jnp.sum(yt[..., :-12] * jnp.log(jnp.maximum(yp[..., :-12],
+                                                           1e-15)), -1)
+        diff = jnp.abs(yt[..., -12:-8] - yp[..., -12:-8])
+        loc = jnp.sum(jnp.where(diff < 1, 0.5 * diff * diff, diff - 0.5), -1)
+        negs = yt[..., 0]
+        poss = jnp.max(yt[..., 1:-12], -1)
+        n_pos = jnp.sum(poss)
+        flat = (cls * negs).reshape(-1)
+        n_keep = jnp.minimum(3.0 * n_pos, jnp.sum(flat > 0).astype(jnp.float32))
+        order = jnp.argsort(-flat)
+        ranks = jnp.zeros_like(flat).at[order].set(
+            jnp.arange(flat.shape[0], dtype=flat.dtype))
+        keep = (ranks < n_keep) & (flat > 0)
+        want = float((jnp.sum(cls * poss) + jnp.sum(jnp.where(keep, flat, 0.0))
+                      + jnp.sum(loc * poss)) / jnp.maximum(1.0, n_pos))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -675,3 +675,97 @@ class TestMinIoUCrop:
         targets = np.asarray(enc.encode_fn(out["gt"], out["gt_mask"]))
         pos = targets[..., 1:21].max(-1)
         assert (pos.sum(axis=1) >= 1).all()
+
+
+class TestPallasBipartiteMatch:
+    """`ops.pallas_match` kernel vs the XLA candidate-loop fallback vs the
+    NumPy reference-semantics loop."""
+
+    def _numpy_greedy(self, sims):
+        w = sims.copy()
+        m = w.shape[0]
+        out = np.full(m, -1, np.int32)
+        for _ in range(m):
+            rows_best = w.max(axis=1)
+            g = int(rows_best.argmax())
+            if rows_best[g] < 0:
+                break
+            a = int(w[g].argmax())
+            out[g] = a
+            w[g, :] = -1e30
+            w[:, a] = -1e30
+        return out
+
+    def _random_sims(self, rng, m=16, n=300, n_valid=None):
+        sims = rng.uniform(0, 1, (m, n)).astype(np.float32)
+        n_valid = m if n_valid is None else n_valid
+        sims[n_valid:] = -1e9
+        return sims
+
+    def test_xla_and_interpret_match_numpy(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_match import (
+            bipartite_match,
+        )
+
+        for trial in range(5):
+            sims = self._random_sims(
+                np.random.default_rng(trial), n_valid=trial + 2
+            )
+            want = self._numpy_greedy(sims)
+            got_xla = np.asarray(bipartite_match(jnp.asarray(sims),
+                                                 impl="xla"))
+            got_pal = np.asarray(bipartite_match(jnp.asarray(sims),
+                                                 impl="interpret"))
+            np.testing.assert_array_equal(got_xla, want)
+            np.testing.assert_array_equal(got_pal, want)
+
+    def test_tie_breaking_first_index(self):
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_match import (
+            bipartite_match,
+        )
+
+        sims = np.zeros((3, 10), np.float32)
+        sims[:] = 0.1
+        sims[0, [2, 5]] = 0.9  # row 0 ties at cols 2 and 5 -> picks 2
+        sims[1, [2, 7]] = 0.9  # row 1 then picks 7 (2 consumed)
+        for impl in ("xla", "interpret"):
+            got = np.asarray(bipartite_match(jnp.asarray(sims), impl=impl))
+            assert got[0] == 2 and got[1] == 7
+
+    def test_vmapped(self, rng):
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_match import (
+            bipartite_match,
+        )
+        import functools
+
+        sims = np.stack([self._random_sims(np.random.default_rng(i),
+                                           n_valid=4) for i in range(4)])
+        want = np.stack([self._numpy_greedy(s) for s in sims])
+        for impl in ("xla", "interpret"):
+            f = jax.vmap(functools.partial(bipartite_match, impl=impl))
+            np.testing.assert_array_equal(np.asarray(f(jnp.asarray(sims))),
+                                          want)
+
+    def test_encoder_impl_parity(self, rng):
+        """TargetEncoder outputs are identical across bipartite impls."""
+        from jpeg_detection_resnet_ssd_tpu.boxes import (
+            AnchorSpec,
+            TargetEncoder,
+        )
+
+        gt = np.zeros((2, 8, 5), np.float32)
+        gt[0, 0] = [3, 30, 40, 180, 190]
+        gt[0, 1] = [7, 150, 60, 280, 240]
+        gt[1, 0] = [1, 10, 10, 120, 260]
+        mask = np.zeros((2, 8), bool)
+        mask[0, :2] = True
+        mask[1, :1] = True
+        sizes = ((38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1))
+        outs = []
+        for impl in ("xla", "interpret"):
+            enc = TargetEncoder(
+                spec=AnchorSpec(), predictor_sizes=sizes, n_classes=20,
+                bipartite_impl=impl,
+            )
+            outs.append(np.asarray(enc(gt, mask)))
+        np.testing.assert_array_equal(outs[0], outs[1])
