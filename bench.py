@@ -1,9 +1,11 @@
 """Benchmark: DCT-SSD300 (ssd_custom) throughput on TPU — all headline paths.
 
-Emits one JSON line per metric (the driver-scored headline LAST):
+Emits one JSON line per metric (the driver-scored headline is computed
+FIRST for robustness to truncation and REPRINTED as the final line):
 
-  * matmul_calibration_bf16 / _f32_highest — pure 4096^3 matmul TFLOP/s to
-    pin the chip's honest achievable peak (the cost-model denominator);
+  * matmul_calibration_bf16 — pure 4096^3 matmul TFLOP/s pinning the chip's
+    honest achievable peak (the cost-model denominator; true-f32/HIGHEST and
+    default-precision behavior are documented in BENCHMARK.md);
   * dct_ssd300_forward_throughput — forward pass only, bf16;
   * dct_ssd300_train_step_throughput — full training step (fwd + SSD loss w/
     hard-negative mining + backward + SGD update + in-step target encode);
@@ -45,7 +47,7 @@ P100_INFER_BASELINE = 100.0
 P100_TRAIN_BASELINE = 89.0
 BATCH = 32
 CHAIN = 10  # short chain; the long chain is 4x this
-TRIALS = 3
+TRIALS = 2  # best-of; relay stalls make more trials expensive, not better
 
 
 def slope_seconds(build_chained, n, trials=TRIALS):
@@ -101,26 +103,6 @@ def bench_matmul_calibration():
     emit("matmul_calibration_bf16", flops / t / 1e12, "TFLOP/s",
          note="achievable chip peak; v5e nominal bf16 is ~197")
 
-    a32 = a.astype(jnp.float32)
-
-    def build32(n):
-        @jax.jit
-        def chained():
-            def body(c, _):
-                return (
-                    jnp.dot(c, a32, precision=jax.lax.Precision.HIGHEST),
-                    None,
-                )
-
-            out, _ = jax.lax.scan(body, a32, None, length=n)
-            return jnp.sum(out)
-
-        return chained
-
-    t32 = slope_seconds(build32, 12)
-    emit("matmul_calibration_f32_highest", flops / t32 / 1e12, "TFLOP/s",
-         note="true f32 (6-pass); default-precision 'f32' matmuls run as "
-              "single-pass bf16 on TPU")
     return flops / t / 1e12
 
 
@@ -360,14 +342,18 @@ def bench_inference(module, variables, y, cbcr):
 def main():
     import jax.numpy as jnp
 
-    bench_matmul_calibration()
+    # The driver-scored headline runs FIRST (so a truncated run still
+    # produced it) and its row is REPRINTED as the final line (the driver
+    # reads the last line; duplicates are harmless).
     module, variables, y, cbcr = _flagship(jnp.bfloat16)
+    headline = bench_inference(module, variables, y, cbcr)
+    bench_matmul_calibration()
     bench_forward(module, variables, y, cbcr)
     bench_train_step(module, variables, y, cbcr, augmented=False)
     bench_train_step(module, variables, y, cbcr, augmented=True)
     bench_packed_pipeline()
-    # driver-scored headline LAST
-    return bench_inference(module, variables, y, cbcr)
+    print(json.dumps(headline))
+    return headline
 
 
 if __name__ == "__main__":
