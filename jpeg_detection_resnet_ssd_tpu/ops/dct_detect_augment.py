@@ -372,9 +372,12 @@ def dct_detection_random_resized_crop(
 
     keys = jax.random.split(rng, 11)
     do_exp = jax.random.bernoulli(keys[0], expand_prob, (B,))
-    # interpolation diversity (ResizeRandomInterp analog): NEAREST is 1 of
-    # the reference's 5 random cv2 modes
-    use_nearest = jax.random.bernoulli(keys[10], 0.2, (B,))
+    # interpolation diversity (ResizeRandomInterp analog): uniform over the
+    # SAME 5 cv2 modes the reference samples (bilinear/nearest/cubic/area/
+    # lanczos4), all expressed as interpolation matrices in ops/dct_resize
+    from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import N_INTERP_MODES
+
+    interp_modes = jax.random.randint(keys[10], (B,), 0, N_INTERP_MODES)
     f = jnp.where(
         do_exp, jax.random.uniform(keys[1], (B,), minval=1.0,
                                    maxval=expand_max), 1.0
@@ -439,13 +442,13 @@ def dct_detection_random_resized_crop(
     def one(y_i, c_i, ry, rx, hh, ww, fl, nn, gt_i, mask_i):
         y_out = dct_crop_resize(
             y_i, ry, rx, hh, ww, out_px, out_px, background=bg_y,
-            nearest=nn,
+            interp_mode=nn,
         )
         c_out = dct_crop_resize(
             c_i, ry / 2.0, rx / 2.0, hh / 2.0, ww / 2.0,
             out_px // 2, out_px // 2,
             background=jnp.asarray([bg_cb, bg_cr], jnp.float32),
-            nearest=nn,
+            interp_mode=nn,
         )
         y_out = jnp.where(fl, _flip_h_jnp(y_out), y_out)
         c_out = jnp.where(fl, _flip_h_jnp(c_out), c_out)
@@ -475,7 +478,7 @@ def dct_detection_random_resized_crop(
         return y_out, c_out, new_gt, new_mask
 
     return jax.vmap(one)(
-        y, cbcr, ry0, rx0, ph, pw, flip, use_nearest, gt, gt_mask
+        y, cbcr, ry0, rx0, ph, pw, flip, interp_modes, gt, gt_mask
     )
 
 

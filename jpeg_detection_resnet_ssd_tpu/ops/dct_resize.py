@@ -31,43 +31,122 @@ import jax.numpy as jnp
 from jpeg_detection_resnet_ssd_tpu.ops.block_dct import DCT_BASIS_8
 
 
+# Interpolation modes, mirroring the reference's `ResizeRandomInterp`
+# pool of 5 random cv2 modes (`object_detection_2d_geometric_ops.py:102`):
+INTERP_BILINEAR = 0
+INTERP_NEAREST = 1
+INTERP_CUBIC = 2    # Catmull-Rom a=-0.75 (cv2.INTER_CUBIC's kernel)
+INTERP_AREA = 3     # box average over the source span (cv2.INTER_AREA for
+                    # downscale; upscale degenerates to a 1-2-tap partial
+                    # overlap rather than cv2's bilinear fallback)
+INTERP_LANCZOS4 = 4  # 8-tap windowed sinc, row-normalized like cv2's tables
+N_INTERP_MODES = 5
+
+
+def _cubic_kernel(x, a=-0.75):
+    """cv2.INTER_CUBIC weight function (BiCubic, alpha=-0.75)."""
+    ax = jnp.abs(x)
+    w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    w2 = ((a * ax - 5.0 * a) * ax + 8.0 * a) * ax - 4.0 * a
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _lanczos_kernel(x, taps=4):
+    """Lanczos-a windowed sinc (a=4 for cv2.INTER_LANCZOS4)."""
+    pix = jnp.pi * x
+    safe = jnp.where(jnp.abs(x) < 1e-7, 1.0, pix)
+    sinc = jnp.where(jnp.abs(x) < 1e-7, 1.0, jnp.sin(safe) / safe)
+    safe_a = jnp.where(jnp.abs(x) < 1e-7, 1.0, pix / taps)
+    sinc_a = jnp.where(
+        jnp.abs(x) < 1e-7, 1.0, jnp.sin(safe_a) / safe_a
+    )
+    return jnp.where(jnp.abs(x) < taps, sinc * sinc_a, 0.0)
+
+
 def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
-                  clamp=False):
+                  clamp=False, mode=None):
     """Interpolation matrix W (dst_px, src_px) for resampling the source
     interval [start, start + length) to dst_px output pixels, plus the
     per-output residual mass (dst_px,) assigned to out-of-bounds background.
 
-    Half-pixel-center convention (cv2.INTER_LINEAR): output pixel o samples
-    source coordinate start + (o + 0.5) * length / dst_px - 0.5.  `start` and
+    Half-pixel-center convention (cv2): output pixel o samples source
+    coordinate start + (o + 0.5) * length / dst_px - 0.5.  `start` and
     `length` are traced scalars (pixels, float); source samples outside
-    [0, src_px) contribute zero weight and their mass lands in the residual.
-    `nearest` (traced bool) switches to nearest-neighbor weights — the
-    interpolation-diversity axis of the reference's `ResizeRandomInterp`
-    (`object_detection_2d_geometric_ops.py:102`, 5 random cv2 modes).
-    `clamp` (traced bool) clamps sample coordinates to [0, src-1] — cv2's
-    border-replicate convention for resizing an in-bounds crop; leave False
-    for out-of-source crops, where the residual mass models a background
-    canvas (a sample straddling the image edge then blends image and
-    background, exactly as a materialized canvas would).
+    [0, src_px) contribute zero weight and their mass lands in the residual
+    (for kernels with negative lobes the residual is the exact signed weight
+    a materialized background canvas would receive).
+
+    `mode` (traced int32, one of the INTERP_* constants) selects the kernel;
+    the legacy `nearest` bool maps to INTERP_NEAREST when `mode` is None.
+    `clamp` (traced bool) applies cv2's border-replicate convention for
+    resizing an in-bounds crop: out-of-range taps fold their weight onto the
+    edge pixels; leave False for out-of-source crops, where the residual
+    mass models the background canvas.
     """
+    if mode is None:
+        mode = jnp.where(jnp.asarray(nearest), INTERP_NEAREST,
+                         INTERP_BILINEAR)
+    mode = jnp.asarray(mode, jnp.int32)
     start = jnp.asarray(start, jnp.float32)
     length = jnp.asarray(length, jnp.float32)
     o = jnp.arange(dst_px, dtype=jnp.float32)
-    s = start + (o + 0.5) * (length / dst_px) - 0.5  # (dst,)
+    step = length / dst_px
+    s = start + (o + 0.5) * step - 0.5  # (dst,)
     s = jnp.where(
         jnp.asarray(clamp), jnp.clip(s, 0.0, float(src_px - 1)), s
     )
-    i0 = jnp.floor(s)
-    w1 = s - i0  # weight of i0 + 1
     src = jnp.arange(src_px, dtype=jnp.float32)
-    # bilinear: W[o, i] = (1-w1) [i == i0] + w1 [i == i0+1]
-    d0 = src[None, :] - i0[:, None]
-    W_bl = jnp.where(d0 == 0.0, 1.0 - w1[:, None], 0.0) + jnp.where(
-        d0 == 1.0, w1[:, None], 0.0
-    )
+    i0 = jnp.floor(s)
+    frac = s - i0
+
+    clamp_t = jnp.asarray(clamp)
+
+    def taps_matrix(offsets, weights):
+        """Dense W from per-output tap (index, weight) lists; with clamp,
+        out-of-range taps fold onto the edge columns (border replicate)."""
+        W = jnp.zeros((dst_px, src_px), jnp.float32)
+        for off, w in zip(offsets, weights):
+            idx = i0 + off  # (dst,)
+            idx_eff = jnp.where(
+                clamp_t, jnp.clip(idx, 0.0, float(src_px - 1)), idx
+            )
+            W = W + jnp.where(
+                src[None, :] == idx_eff[:, None], w[:, None], 0.0
+            )
+        return W
+
+    # bilinear: 2 taps
+    W_bl = taps_matrix((0.0, 1.0), (1.0 - frac, frac))
     # nearest: one-hot at round(s)
     W_nn = jnp.where(src[None, :] - jnp.round(s)[:, None] == 0.0, 1.0, 0.0)
-    W = jnp.where(jnp.asarray(nearest), W_nn, W_bl)
+    # cubic: 4 taps at i0-1 .. i0+2
+    cub_off = (-1.0, 0.0, 1.0, 2.0)
+    W_cu = taps_matrix(cub_off, [_cubic_kernel(frac - k) for k in cub_off])
+    # lanczos4: 8 taps at i0-3 .. i0+4, normalized to unit row sum (cv2
+    # normalizes its coefficient tables)
+    lz_off = tuple(float(k) for k in range(-3, 5))
+    lz_w = [_lanczos_kernel(frac - k) for k in lz_off]
+    lz_sum = sum(lz_w)
+    W_lz = taps_matrix(lz_off, [w / lz_sum for w in lz_w])
+    # area: fractional overlap of the source span [b, b+step) with each
+    # source pixel cell [i, i+1), normalized by the span
+    b = start + o * step
+    e = b + step
+    b_eff = jnp.where(clamp_t, jnp.clip(b, 0.0, float(src_px)), b)
+    e_eff = jnp.where(clamp_t, jnp.clip(e, 0.0, float(src_px)), e)
+    cover = jnp.clip(
+        jnp.minimum(e_eff[:, None], src[None, :] + 1.0)
+        - jnp.maximum(b_eff[:, None], src[None, :]),
+        0.0, None,
+    )
+    W_ar = cover / jnp.maximum(e_eff - b_eff, 1e-12)[:, None]
+
+    W = jnp.select(
+        [mode == INTERP_NEAREST, mode == INTERP_CUBIC,
+         mode == INTERP_AREA, mode == INTERP_LANCZOS4],
+        [W_nn, W_cu, W_ar, W_lz],
+        W_bl,
+    )
     residual = 1.0 - jnp.sum(W, axis=1)
     return W, residual
 
@@ -111,13 +190,16 @@ def dct_crop_resize(
     out_w_px: int,
     background=0.0,
     nearest=False,
+    interp_mode=None,
 ):
     """Crop [y0, y0+crop_h) x [x0, x0+crop_w) (continuous pixels, may extend
     beyond the source) and resize to (out_h_px, out_w_px), all in coefficient
     space.  `background` is the fill PIXEL value minus 128 (level-shifted),
     a scalar or a per-channel-group (k,) array (e.g. (Cb, Cr) for a stacked
     chroma tensor): out-of-bounds regions decode to that constant.
-    `nearest` (traced bool) selects nearest-neighbor resampling.
+    `interp_mode` (traced int32, an INTERP_* constant) selects the resampling
+    kernel — all 5 of the reference's `ResizeRandomInterp` cv2 modes; the
+    legacy `nearest` bool is honored when interp_mode is None.
 
     blocks: (H8, W8, k*64).  Returns (out_h_px/8, out_w_px/8, k*64).
     """
@@ -131,9 +213,9 @@ def dct_crop_resize(
     clamp_y = (y0t >= 0.0) & (y0t + crop_h <= H8 * 8)
     clamp_x = (x0t >= 0.0) & (x0t + crop_w <= W8 * 8)
     Wy, ry = interp_matrix(H8 * 8, out_h_px, y0, crop_h, nearest=nearest,
-                           clamp=clamp_y)
+                           clamp=clamp_y, mode=interp_mode)
     Wx, rx = interp_matrix(W8 * 8, out_w_px, x0, crop_w, nearest=nearest,
-                           clamp=clamp_x)
+                           clamp=clamp_x, mode=interp_mode)
     out = dct_resample(blocks, Wy, Wx)
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (g,))
 

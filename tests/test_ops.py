@@ -769,3 +769,109 @@ class TestPallasBipartiteMatch:
             )
             outs.append(np.asarray(enc(gt, mask)))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestInterpModes:
+    """The 3 round-3 interpolation modes (cubic/area/lanczos4) complete the
+    reference's `ResizeRandomInterp` pool; each mode's full-frame DCT-domain
+    resample must match cv2.resize on the decoded float pixels."""
+
+    def _pixels(self, rng, hb=6, wb=6):
+        blocks = rng.normal(0, 50, (hb, wb, 64)).astype(np.float32)
+        return blocks, (blocks_to_pixels(blocks) - 128.0).astype(np.float32)
+
+    def _run(self, blocks, mode, out=32):
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+
+        H = blocks.shape[0] * 8
+        o = np.asarray(dct_crop_resize(
+            jnp.asarray(blocks), 0.0, 0.0, float(H), float(H), out, out,
+            interp_mode=mode,
+        ))
+        return blocks_to_pixels(o) - 128.0
+
+    def test_cubic_matches_cv2(self, rng):
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import INTERP_CUBIC
+
+        blocks, P = self._pixels(rng)
+        got = self._run(blocks, INTERP_CUBIC, out=32)
+        want = cv2.resize(P, (32, 32), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
+    def test_area_matches_cv2(self, rng):
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import INTERP_AREA
+
+        blocks, P = self._pixels(rng)
+        got = self._run(blocks, INTERP_AREA, out=32)  # 48 -> 32 downscale
+        want = cv2.resize(P, (32, 32), interpolation=cv2.INTER_AREA)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
+    def test_lanczos_matches_cv2(self, rng):
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import (
+            INTERP_LANCZOS4,
+        )
+
+        blocks, P = self._pixels(rng)
+        got = self._run(blocks, INTERP_LANCZOS4, out=32)
+        want = cv2.resize(P, (32, 32), interpolation=cv2.INTER_LANCZOS4)
+        # cv2's float lanczos tables are unnormalized; ours are row-
+        # normalized (like cv2's fixed-point tables), so allow a slightly
+        # looser tolerance than the polynomial kernels
+        np.testing.assert_allclose(got, want, atol=0.5)
+
+    def test_mode_is_traced(self, rng):
+        """One compiled program serves every mode (mode is a traced int)."""
+        from jpeg_detection_resnet_ssd_tpu.ops import dct_crop_resize
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import (
+            INTERP_BILINEAR,
+            INTERP_NEAREST,
+        )
+
+        blocks, _ = self._pixels(rng)
+
+        calls = []
+
+        @jax.jit
+        def run(mode):
+            calls.append(1)
+            return dct_crop_resize(
+                jnp.asarray(blocks), 0.0, 0.0, 48.0, 48.0, 32, 32,
+                interp_mode=mode,
+            )
+
+        a = np.asarray(run(jnp.int32(INTERP_BILINEAR)))
+        b = np.asarray(run(jnp.int32(INTERP_NEAREST)))
+        assert len(calls) == 1  # single trace
+        assert not np.allclose(a, b)
+
+    def test_v3_augment_runs_with_mode_diversity(self, rng):
+        """The v3 detection chain samples all 5 modes without retracing."""
+        from jpeg_detection_resnet_ssd_tpu.ops import (
+            make_dct_detection_augment_v3,
+        )
+
+        aug = make_dct_detection_augment_v3(out_y_blocks=16)
+        B = 8
+        batch = {
+            "inputs": (
+                jnp.asarray(rng.normal(0, 60, (B, 22, 22, 64)), jnp.float32),
+                jnp.asarray(rng.normal(0, 20, (B, 11, 11, 128)),
+                            jnp.float32),
+            ),
+            "gt": jnp.asarray(
+                np.tile([[3, 20, 20, 120, 120]], (B, 4, 1)), jnp.float32
+            ),
+            "gt_mask": jnp.asarray(np.tile([True, False, False, False],
+                                           (B, 1))),
+        }
+        out = aug(batch, jax.random.PRNGKey(0))
+        y, c = out["inputs"]
+        assert np.asarray(y).shape == (B, 16, 16, 64)
+        assert np.isfinite(np.asarray(y)).all()
+        assert np.isfinite(np.asarray(c)).all()
