@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import tempfile
 import urllib.parse
 import urllib.request
 
@@ -121,7 +122,13 @@ def fetch_weights(
         os.remove(target)  # corrupted cache entry: discard and re-fetch
 
     src = _local_source(origin)
-    tmp = target + ".part"
+    # Private temp file per call: a shared `target + ".part"` path races
+    # under concurrent fetches of the same weights (interleaved writes, a
+    # verify-then-replace TOCTOU, and one caller's cleanup deleting
+    # another's in-progress download).  mkstemp on the same filesystem
+    # keeps os.replace atomic.
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, prefix=fname + ".", suffix=".part")
+    os.close(fd)
     try:
         if src is not None:
             if os.path.abspath(src) == os.path.abspath(target):

@@ -413,6 +413,7 @@ def make_inference_fn(
     nms_max_output_size: int = 400,
     nms_impl: str = "auto",
     candidate_selector: str = "exact",
+    shared_pool_size: int = 1024,
 ):
     """Decode hook turning training-mode output into (B, top_k, 6) detections.
 
@@ -441,4 +442,5 @@ def make_inference_fn(
         img_width=spec.img_width,
         nms_impl=nms_impl,
         candidate_selector=candidate_selector,
+        shared_pool_size=shared_pool_size,
     )

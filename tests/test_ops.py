@@ -810,6 +810,20 @@ class TestInterpModes:
         want = cv2.resize(P, (32, 32), interpolation=cv2.INTER_AREA)
         np.testing.assert_allclose(got, want, atol=5e-2)
 
+    def test_area_upscale_matches_cv2(self, rng):
+        """cv2.INTER_AREA's upscale path is the same generic
+        fractional-overlap resample (NOT a bilinear fallback — that applies
+        only to its integer-decimation fast path); the augment chain
+        upscales most crops, so this direction must hold too."""
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import INTERP_AREA
+
+        blocks, P = self._pixels(rng, hb=3, wb=3)  # 24 px source
+        got = self._run(blocks, INTERP_AREA, out=64)  # 24 -> 64 upscale
+        want = cv2.resize(P, (64, 64), interpolation=cv2.INTER_AREA)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
     def test_lanczos_matches_cv2(self, rng):
         import cv2
 
