@@ -125,7 +125,12 @@ def encode_targets(
     positive = assigned >= 0
     safe_idx = jnp.clip(assigned, 0, max_gt - 1)
     assign_oh = jax.nn.one_hot(safe_idx, max_gt, dtype=jnp.float32)
-    matched_cent = assign_oh @ cent  # (n_boxes, 4)
+    # HIGHEST: the TPU's default matmul precision rounds the f32 GT coords
+    # to bf16 (~0.5 px at 300 px scale) before the MXU multiply; the class
+    # matmul below is 0/1-valued and exact at any precision.
+    matched_cent = jnp.matmul(
+        assign_oh, cent, precision=jax.lax.Precision.HIGHEST
+    )  # (n_boxes, 4)
     cls_table = jax.nn.one_hot(cls_ids, n_total, dtype=jnp.float32)
     one_hot_pos = assign_oh @ cls_table  # (n_boxes, n_total)
 

@@ -414,6 +414,7 @@ def make_inference_fn(
     nms_impl: str = "auto",
     candidate_selector: str = "exact",
     shared_pool_size: int = 1024,
+    pool_topk_impl: str = "sort",
 ):
     """Decode hook turning training-mode output into (B, top_k, 6) detections.
 
@@ -443,4 +444,5 @@ def make_inference_fn(
         nms_impl=nms_impl,
         candidate_selector=candidate_selector,
         shared_pool_size=shared_pool_size,
+        pool_topk_impl=pool_topk_impl,
     )

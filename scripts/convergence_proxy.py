@@ -283,10 +283,6 @@ def main():
         f"{root}/JPEGImages", f"{root}/ImageSets/Main/test.txt",
         f"{root}/Annotations",
     )
-    eval_pipe = DetectionPipeline(
-        test_ds, 8, train=False, encoder=None, augmentation=None,
-        input_format=input_format, num_workers=4,
-    )
     params = jax.device_get(state.params)
     stats = jax.device_get(state.batch_stats)
 

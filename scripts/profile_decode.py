@@ -44,6 +44,7 @@ def main():
                     choices=["shared", "exact", "approx"])
     ap.add_argument("--pool", type=int, default=1024)
     ap.add_argument("--nms-k", type=int, default=400)
+    ap.add_argument("--pool-impl", default="sort", choices=["sort", "approx"])
     args = ap.parse_args()
 
     import jax
@@ -71,6 +72,7 @@ def main():
         candidate_selector=args.selector,
         shared_pool_size=args.pool,
         nms_max_output_size=args.nms_k,
+        pool_topk_impl=args.pool_impl,
     )
 
     results = {}
@@ -133,20 +135,27 @@ def main():
     record("box_transform", chained_seconds(
         transform_only, (preds, jnp.float32(0)), args.chain * 2))
 
-    # 4b) pool selection (shared selector front end)
+    # 4b) pool selection (shared selector front end, post-restructure: best
+    # positive score -> top-M -> gather y_pred rows -> pooled transform)
     def pool_only(c):
-        s, acc = c
-        pos = s[..., 1 : C + 1] + acc * 1e-20
+        p, acc = c
+        pos = p[..., 1 : C + 1] + acc * 1e-20
         box_best = jnp.max(
             jnp.where(pos > conf_thresh, pos, 0.0), axis=-1
         )
-        _, pool_idx = jax.lax.top_k(box_best, M)
-        ps = jnp.take_along_axis(pos, pool_idx[..., None], axis=1)
-        pb = jnp.take_along_axis(boxes, pool_idx[..., None], axis=1)
-        return (s, acc + (jnp.sum(ps) + jnp.sum(pb)) * 1e-12)
+        if args.pool_impl == "approx":
+            _, pool_idx = jax.lax.approx_max_k(box_best, M)
+            pool_idx = pool_idx.astype(jnp.int32)
+        else:
+            _, pool_idx = jax.lax.top_k(box_best, M)
+        pool_pred = jnp.take_along_axis(p, pool_idx[..., None], axis=1)
+        ps, pb = decode_raw_predictions(
+            pool_pred, img_height=300, img_width=300
+        )
+        return (p, acc + (jnp.sum(ps) + jnp.sum(pb)) * 1e-12)
 
     record("pool_select", chained_seconds(
-        pool_only, (scores, jnp.float32(0)), args.chain * 2))
+        pool_only, (preds, jnp.float32(0)), args.chain * 2))
 
     # fixed pool tensors for the later stages
     pos = scores[..., 1 : C + 1]
@@ -231,11 +240,14 @@ def main():
         final_topk, (top_scores, jnp.float32(0)), args.chain * 2))
 
     decode_ms = results.get("decode_only", 0.0)
-    stage_sum = sum(
-        results.get(s, 0.0)
-        for s in ("box_transform", "pool_select", "per_class_topk",
-                  "pallas_nms", "final_topk_assembly")
-    )
+    # Post-restructure the shared path transforms only the pooled rows
+    # (inside pool_select); the full-tensor box_transform stage is the
+    # exact-path cost and would double-count here.
+    stages = ("pool_select", "per_class_topk", "pallas_nms",
+              "final_topk_assembly")
+    if args.selector != "shared":
+        stages = ("box_transform",) + stages[1:]
+    stage_sum = sum(results.get(s, 0.0) for s in stages)
     print(json.dumps({
         "summary_ms": {n: round(v, 3) for n, v in results.items()},
         "stage_sum_vs_decode_only": [round(stage_sum, 3),

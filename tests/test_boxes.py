@@ -309,6 +309,13 @@ class TestDecode:
             jnp.asarray(y), candidate_selector="shared",
             shared_pool_size=128, **kw))
         np.testing.assert_allclose(shared, exact, atol=1e-5)
+        # approx pool top-k: same result here (approx_max_k is exact when the
+        # candidate count is far below the pool size; on TPU it trades ~5%
+        # recall of the lowest pool slots for the partial-reduction kernel).
+        approx = np.asarray(decode_detections(
+            jnp.asarray(y), candidate_selector="shared",
+            shared_pool_size=128, pool_topk_impl="approx", **kw))
+        np.testing.assert_allclose(approx, exact, atol=1e-5)
 
     def test_decode_debug_preserves_box_ids(self, rng):
         """decode_detections_debug == decode_detections + a correct box_id
