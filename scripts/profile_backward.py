@@ -169,6 +169,11 @@ def main():
     full = SSDResNetCustom(n_classes=20, dtype=dtype)
     measure(full, "full_train", train=True)
     measure(full, "full_frozen_bn", train=False)
+    # remat A/B: rematerialized bottleneck branches trade ~30% extra fwd
+    # FLOPs for not storing branch activations — wins iff the backward is
+    # HBM-bound on activation reloads.
+    measure(SSDResNetCustom(n_classes=20, dtype=dtype, remat=True),
+            "full_train_remat", train=True)
 
     # Segment attribution table
     order = ["stage1", "stage3", "stage4", "block5", "full_train"]
