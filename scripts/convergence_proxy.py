@@ -159,6 +159,13 @@ def main():
     p.add_argument("--seed", type=int, default=0,
                    help="training seed (init/shuffle/augment); the corpus "
                         "seed is fixed so every run sees identical data")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the latest run dir for this variant+seed "
+                        "from its newest checkpoint instead of starting a "
+                        "fresh run (for relay/preemption retries; the "
+                        "shuffled data order after the resume point differs "
+                        "from an uninterrupted run, augmentation draws are "
+                        "random either way)")
     args = p.parse_args()
 
     if args.platform:
@@ -187,6 +194,7 @@ def main():
     from jpeg_detection_resnet_ssd_tpu.train.config import (
         ExperimentConfig,
         create_run_dir,
+        find_latest_run,
     )
     from jpeg_detection_resnet_ssd_tpu.train.loop import fit
 
@@ -216,6 +224,7 @@ def main():
         output_dir=args.output_dir,
         project=f"proxy_{args.variant}_s{args.seed}",
         seed=args.seed,
+        restart=args.resume,
     )
 
     family = "vgg" if args.variant == "rgb" else "resnet_custom"
@@ -268,7 +277,9 @@ def main():
             device_encode=True,
         )
 
-    run_dir = create_run_dir(config)
+    run_dir = find_latest_run(config) if args.resume else None
+    if run_dir is None:
+        run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}", flush=True)
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.steps,
