@@ -73,6 +73,13 @@ def main():
     p.add_argument("--platform", default=None)
     p.add_argument("--num-workers", type=int, default=12)
     p.add_argument("--output-dir", default="/tmp/cls_proxy_runs")
+    p.add_argument("--seed", type=int, default=0,
+                   help="training seed (init/shuffle/augment); the corpus "
+                        "seed is fixed so every run sees identical data")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the latest run dir for this variant+seed "
+                        "from its newest checkpoint (for relay/preemption "
+                        "retries)")
     args = p.parse_args()
 
     if args.platform:
@@ -93,6 +100,7 @@ def main():
     from jpeg_detection_resnet_ssd_tpu.train.config import (
         ExperimentConfig,
         create_run_dir,
+        find_latest_run,
     )
     from jpeg_detection_resnet_ssd_tpu.train.loop import fit, make_validation_fn
 
@@ -118,7 +126,9 @@ def main():
         steps_per_epoch=steps_per_pass,
         num_workers=args.num_workers,
         output_dir=args.output_dir,
-        project=f"clsproxy_{args.variant}",
+        project=f"clsproxy_{args.variant}_s{args.seed}",
+        seed=args.seed,
+        restart=args.resume,
     )
 
     augment_fn = None
@@ -146,7 +156,9 @@ def main():
             seed=config.seed,
         )
 
-    run_dir = create_run_dir(config)
+    run_dir = find_latest_run(config) if args.resume else None
+    if run_dir is None:
+        run_dir = create_run_dir(config)
     print(f"run dir: {run_dir}", flush=True)
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.steps,
@@ -172,6 +184,7 @@ def main():
     metrics = ClassificationEvaluator(infer, eval_pipe)()
     print(json.dumps({
         "variant": args.variant,
+        "seed": args.seed,
         "model": model,
         "steps": args.steps,
         "train_images": len(train_ds),
