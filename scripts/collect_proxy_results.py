@@ -1,15 +1,22 @@
 """Collect multi-seed convergence-proxy results into `results_proxy/`.
 
-Reads the JSON result lines that `scripts/convergence_proxy.py` prints
-(one per completed run — pass one or more queue logs and/or .json files),
-groups them by variant, and writes:
+Reads the JSON result lines that `scripts/convergence_proxy.py` and
+`scripts/cls_convergence_proxy.py` print (one per completed run — pass one
+or more queue logs and/or .json files), groups them by variant, and writes:
 
   * `results_proxy/round3_runs.json` — every run, verbatim;
   * `results_proxy/round3_summary.json` — per-variant mean/std/min/max of
     the held-out exact-selector mAP, the shared-selector delta, and run
-    counts;
+    counts (detection runs);
+  * `results_proxy/round3_cls_summary.json` — per-variant held-out top-1
+    statistics (classification runs), written only when such runs exist;
 
-then prints a markdown table for BENCHMARK.md.
+then prints markdown tables for BENCHMARK.md.
+
+Retried runs (checkpoint `--resume` after a relay flap) can emit more than
+one result line for the same (variant, seed, steps); the LAST line wins —
+it is the one produced by the invocation that actually reached the step
+budget.
 
 Usage: python scripts/collect_proxy_results.py /tmp/proxy_r3/queue.log ...
 """
@@ -24,7 +31,7 @@ import numpy as np
 
 
 def load_runs(paths):
-    runs = []
+    runs = {}
     for p in paths:
         with open(p) as f:
             for line in f:
@@ -32,10 +39,59 @@ def load_runs(paths):
                 if not line.startswith('{"variant"'):
                     continue
                 try:
-                    runs.append(json.loads(line))
+                    r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-    return runs
+                key = (r["variant"], r.get("seed", -1), r["steps"],
+                       "heldout_mAP" in r)
+                runs[key] = r  # last occurrence wins (resume retries)
+    return list(runs.values())
+
+
+def summarize(rs_by_variant, metric):
+    summary = {}
+    for variant, rs in sorted(rs_by_variant.items()):
+        vals = np.array([r[metric] for r in rs], np.float64)
+        row = {
+            "n_runs": len(rs),
+            "seeds": sorted(r.get("seed", -1) for r in rs),
+            "steps": sorted({r["steps"] for r in rs}),
+            f"{metric}_mean": round(float(vals.mean()), 4),
+            f"{metric}_std": round(float(vals.std(ddof=1)), 4)
+            if len(rs) > 1 else None,
+            f"{metric}_min": round(float(vals.min()), 4),
+            f"{metric}_max": round(float(vals.max()), 4),
+        }
+        if metric == "heldout_mAP":
+            deltas = np.array(
+                [r.get("selector_delta", 0.0) for r in rs], np.float64
+            )
+            row["selector_delta_mean"] = round(float(deltas.mean()), 5)
+            row["selector_delta_max_abs"] = round(
+                float(np.abs(deltas).max()), 5
+            )
+        summary[variant] = row
+    return summary
+
+
+def print_table(summary, metric, label, extra_col=None):
+    extra = f" {extra_col} |" if extra_col else ""
+    print(f"| Variant | runs | {label} (mean ± std) | range |{extra}")
+    print("|---|---|---|---|" + ("---|" if extra_col else ""))
+    for variant, s in sorted(summary.items()):
+        std = (f" ± {s[f'{metric}_std']:.3f}"
+               if s[f"{metric}_std"] is not None else "")
+        row = (
+            f"| {variant} | {s['n_runs']} | "
+            f"**{s[f'{metric}_mean']:.3f}**{std} | "
+            f"[{s[f'{metric}_min']:.3f}, {s[f'{metric}_max']:.3f}] |"
+        )
+        if extra_col:
+            row += (
+                f" {s['selector_delta_mean']:+.5f} "
+                f"(max |{s['selector_delta_max_abs']:.5f}|) |"
+            )
+        print(row)
 
 
 def main():
@@ -44,28 +100,10 @@ def main():
     if not runs:
         sys.exit(f"no result lines found in {paths}")
 
-    by_variant = {}
+    det, cls = {}, {}
     for r in runs:
-        by_variant.setdefault(r["variant"], []).append(r)
-
-    summary = {}
-    for variant, rs in sorted(by_variant.items()):
-        maps = np.array([r["heldout_mAP"] for r in rs], np.float64)
-        deltas = np.array(
-            [r.get("selector_delta", 0.0) for r in rs], np.float64
-        )
-        summary[variant] = {
-            "n_runs": len(rs),
-            "seeds": sorted(r.get("seed", -1) for r in rs),
-            "steps": sorted({r["steps"] for r in rs}),
-            "heldout_mAP_mean": round(float(maps.mean()), 4),
-            "heldout_mAP_std": round(float(maps.std(ddof=1)), 4)
-            if len(rs) > 1 else None,
-            "heldout_mAP_min": round(float(maps.min()), 4),
-            "heldout_mAP_max": round(float(maps.max()), 4),
-            "selector_delta_mean": round(float(deltas.mean()), 5),
-            "selector_delta_max_abs": round(float(np.abs(deltas).max()), 5),
-        }
+        group = det if "heldout_mAP" in r else cls
+        group.setdefault(r["variant"], []).append(r)
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -74,23 +112,26 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "round3_runs.json"), "w") as f:
         json.dump(runs, f, indent=1)
-    with open(os.path.join(out_dir, "round3_summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    written = ["round3_runs.json"]
 
-    print("| Variant | runs | held-out mAP (mean ± std) | range | "
-          "shared-selector delta |")
-    print("|---|---|---|---|---|")
-    for variant, s in sorted(summary.items()):
-        std = f" ± {s['heldout_mAP_std']:.3f}" if s["heldout_mAP_std"] \
-            is not None else ""
-        print(
-            f"| {variant} | {s['n_runs']} | "
-            f"**{s['heldout_mAP_mean']:.3f}**{std} | "
-            f"[{s['heldout_mAP_min']:.3f}, {s['heldout_mAP_max']:.3f}] | "
-            f"{s['selector_delta_mean']:+.5f} "
-            f"(max |{s['selector_delta_max_abs']:.5f}|) |"
-        )
-    print(f"\nwrote {out_dir}/round3_runs.json and round3_summary.json")
+    if det:
+        summary = summarize(det, "heldout_mAP")
+        with open(os.path.join(out_dir, "round3_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        written.append("round3_summary.json")
+        print_table(summary, "heldout_mAP", "held-out mAP",
+                    extra_col="shared-selector delta")
+    if cls:
+        summary = summarize(cls, "heldout_top1")
+        path = os.path.join(out_dir, "round3_cls_summary.json")
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        written.append("round3_cls_summary.json")
+        if det:
+            print()
+        print_table(summary, "heldout_top1", "held-out top-1")
+
+    print(f"\nwrote {', '.join(os.path.join(out_dir, w) for w in written)}")
 
 
 if __name__ == "__main__":
