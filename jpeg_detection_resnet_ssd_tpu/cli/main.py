@@ -267,6 +267,10 @@ def cmd_train_detect(args):
             out_y_blocks=38,
             expand_prob=0.5 if args.crop else 0.0,
             scale_range=(0.3, 1.0) if args.crop else (1.0, 1.0),
+            photometric=(
+                "pixel_hsv"
+                if getattr(args, "photometric", "dct") == "pixel" else True
+            ),
         )
         if args.pack_cache:
             # Decode-once corpus: epochs read memmapped coefficient tensors
@@ -635,6 +639,13 @@ def build_parser():
                     help="with --device-augment: stem path for a decode-once "
                          "memmapped DCT corpus (created if absent); lifts the "
                          "host JPEG-decode ceiling for repeated epochs")
+    td.add_argument("--photometric", default="dct",
+                    choices=["dct", "pixel"],
+                    help="with --device-augment: 'dct' = coefficient-domain "
+                         "photometric (chroma-rotation hue/sat, fastest); "
+                         "'pixel' = exact reference HSV semantics via "
+                         "on-device pixel reconstruction "
+                         "(ops/pixel_photometric.py)")
     td.add_argument("--val-image-set", default=None,
                     help="ImageSets/Main/<file> for per-epoch validation "
                          "loss (e.g. val.txt)")

@@ -489,14 +489,30 @@ def make_dct_detection_augment_v3(
     expand_max: float = 4.0,
     scale_range=(0.3, 1.0),
     identity_prob: float = 0.3,
-    photometric: bool = True,
+    photometric: bool | str = True,
     background=(123, 117, 104),
 ):
     """Device-side SSD augmentation with FULL continuous scale semantics:
     photometric -> [expand U(1,4) + min-IoU crop U(0.3,1) + bilinear resize,
-    one linear DCT op] -> hflip.  See `dct_detection_random_resized_crop`."""
+    one linear DCT op] -> hflip.  See `dct_detection_random_resized_crop`.
+
+    `photometric`: True/"dct" = coefficient-domain brightness/contrast +
+    chroma-rotation hue/sat (`dct_random_photometric`, fastest);
+    "pixel_hsv" = exact reference semantics via on-device pixel
+    reconstruction (`pixel_photometric.dct_pixel_photometric` — true
+    hexagonal HSV walk and per-op clips); False = none."""
     from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
         dct_random_photometric,
+    )
+    from jpeg_detection_resnet_ssd_tpu.ops.pixel_photometric import (
+        dct_pixel_photometric,
+    )
+
+    if photometric not in (True, False, "dct", "pixel_hsv"):
+        raise ValueError(f"unknown photometric mode {photometric!r}")
+    photometric_fn = (
+        dct_pixel_photometric if photometric == "pixel_hsv"
+        else dct_random_photometric
     )
 
     def augment(batch, rng):
@@ -506,7 +522,7 @@ def make_dct_detection_augment_v3(
         gt, mask = batch["gt"], batch["gt_mask"]
         k1, k2 = jax.random.split(rng)
         if photometric:
-            y, cbcr = dct_random_photometric(y, cbcr, k1)
+            y, cbcr = photometric_fn(y, cbcr, k1)
         y, cbcr, gt, mask = dct_detection_random_resized_crop(
             y, cbcr, gt, mask, k2,
             out_y_blocks=out_y_blocks, n_trials=n_trials,
