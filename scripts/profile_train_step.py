@@ -263,6 +263,22 @@ def main():
         record("device_augment_only", chained_seconds(
             aug_only, (y44, jnp.float32(0)), args.chain * 2))
 
+        # exact pixel-space HSV photometric variant (--photometric pixel):
+        # adds IDCT->chain->DCT; the delta vs the row above is its price
+        aug_px = make_dct_detection_augment_v3(out_y_blocks=38,
+                                               photometric="pixel_hsv")
+
+        def aug_px_only(c):
+            yy, acc = c
+            batch = {"inputs": (yy, c22), "gt": gt, "gt_mask": gt_mask}
+            out = aug_px(batch, jax.random.fold_in(jax.random.PRNGKey(0),
+                                                   acc.astype(jnp.int32)))
+            oy, ocb = out["inputs"]
+            return (yy, acc + jnp.sum(oy).astype(jnp.float32) * 1e-9)
+
+        record("device_augment_pixel_hsv", chained_seconds(
+            aug_px_only, (y44, jnp.float32(0)), args.chain * 2))
+
     print(json.dumps({"summary_ms": {k: round(v, 3)
                                      for k, v in results.items()}}))
 
