@@ -184,3 +184,36 @@ def test_random_wrapper_jits_and_batches():
         y, cbcr, jax.random.PRNGKey(7)
     )
     assert float(jnp.abs(out_y2 - out_y).max()) > 0.1
+
+
+def test_pixel_photometric_under_mesh():
+    """The op is batch-elementwise, so a data-sharded jit must produce the
+    bit-identical result of the single-device run (no cross-image state)."""
+    import jax.sharding as shd
+
+    from jpeg_detection_resnet_ssd_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.normal(0, 30, (8, 6, 6, 64)), jnp.float32)
+    cbcr = jnp.asarray(rng.normal(0, 20, (8, 3, 3, 128)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    ref_y, ref_c = jax.jit(dct_pixel_photometric)(y, cbcr, key)
+
+    bs = batch_sharding(mesh)
+    rep = shd.NamedSharding(mesh, shd.PartitionSpec())
+    with mesh:
+        out_y, out_c = jax.jit(
+            dct_pixel_photometric,
+            in_shardings=(bs, bs, rep),
+            out_shardings=(bs, bs),
+        )(jax.device_put(y, bs), jax.device_put(cbcr, bs),
+          jax.device_put(key, rep))
+    assert np.allclose(np.asarray(out_y), np.asarray(ref_y), atol=1e-4)
+    assert np.allclose(np.asarray(out_c), np.asarray(ref_c), atol=1e-4)
