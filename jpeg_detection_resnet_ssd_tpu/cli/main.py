@@ -25,6 +25,11 @@ def _add_train_common(p):
                    help="Keras H5 for by-name transfer")
     p.add_argument("--n-model-shards", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fuse N optimization steps into one compiled "
+                        "program (lax.scan over N pre-staged batches): "
+                        "identical math, per-step dispatch latency paid "
+                        "once per group — decisive on high-latency links")
 
 
 def _load_config(args, defaults):
@@ -191,6 +196,7 @@ def cmd_train_classify(args):
     state, history = fit(
         config, pipe, run_dir=run_dir, max_steps=args.max_steps,
         init_variables=init_vars, mesh=trainer.mesh, augment_fn=augment_fn,
+        steps_per_call=args.steps_per_call,
     )
     print(json.dumps(history[-1] if history else {}))
 
@@ -336,7 +342,7 @@ def cmd_train_detect(args):
         config, pipe, val_fn=val_fn, run_dir=run_dir,
         max_steps=args.max_steps, init_variables=init_vars,
         mesh=trainer.mesh, target_encoder=encoder.encode_fn,
-        augment_fn=augment_fn,
+        augment_fn=augment_fn, steps_per_call=args.steps_per_call,
     )
     print(json.dumps(history[-1] if history else {}))
 

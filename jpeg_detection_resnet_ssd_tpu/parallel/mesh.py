@@ -54,6 +54,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for K stacked batches (scan axis first): axis 0 is the scan
+    step, axis 1 is the per-step batch sharded over `data`."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -111,8 +111,17 @@ def fit(
     target_encoder=None,
     augment_fn=None,
     save_every: int = 1,
+    steps_per_call: int = 1,
 ) -> tuple[Any, list[dict]]:
-    """Train per `config`; returns (final TrainState, history of epoch rows)."""
+    """Train per `config`; returns (final TrainState, history of epoch rows).
+
+    `steps_per_call > 1` fuses that many optimization steps into one compiled
+    program (`Trainer.train_steps`): batches are pre-staged host-side, stacked
+    on a scan axis, and shipped in one transfer, so per-step dispatch latency
+    is paid once per group.  Identical math to sequential steps (same per-step
+    RNG folding); epoch and `max_steps` boundaries are respected exactly —
+    groups never straddle them (the remainder runs as single steps).
+    """
     trainer, module, example_inputs = build_trainer(
         config, mesh, target_encoder, augment_fn
     )
@@ -156,27 +165,75 @@ def fit(
         dropout_rng = jax.random.PRNGKey(config.seed + 1)
         history = []
         steps_done = 0
+        spc = max(int(steps_per_call), 1)
         for epoch in range(start_epoch, config.epochs):
             t0 = time.time()
             epoch_metrics: dict[str, list] = {}
-            for batch in train_pipeline:
-                batch = jax.device_put(batch, trainer.batch_shardings(batch))
-                state, metrics = trainer.train_step(state, batch, dropout_rng)
-                steps_done += 1
-                if steps_done % log_every == 0 or (
+            pending: list = []
+
+            def execute(state, unit):
+                """Run 1 batch (single step) or `spc` batches (fused scan)."""
+                if len(unit) == 1:
+                    b = jax.device_put(
+                        unit[0], trainer.batch_shardings(unit[0])
+                    )
+                    return trainer.train_step(state, b, dropout_rng)
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *unit
+                )
+                stacked = jax.device_put(
+                    stacked, trainer.stacked_batch_shardings(stacked)
+                )
+                return trainer.train_steps(state, stacked, dropout_rng)
+
+            def bookkeep(metrics, prev_done):
+                """NaN guard (on log_every crossings) + metric accumulation."""
+                if (steps_done // log_every) != (prev_done // log_every) or (
                     max_steps and steps_done >= max_steps
                 ):
-                    loss = float(metrics["total_loss"])
+                    loss = float(
+                        np.asarray(metrics["total_loss"]).ravel()[-1]
+                    )
                     if math.isnan(loss) or math.isinf(loss):
                         raise NaNLossError(
                             f"non-finite loss at step {steps_done}"
                         )
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(k, []).append(v)
+
+            for batch in train_pipeline:
+                # A fused group must not straddle the epoch or max_steps
+                # boundary (both are defined per-step); run the remainder as
+                # single steps.
+                boundary = config.steps_per_epoch - (
+                    steps_done % config.steps_per_epoch
+                )
+                if max_steps:
+                    boundary = min(boundary, max_steps - steps_done)
+                if spc > 1 and boundary >= spc:
+                    pending.append(batch)
+                    if len(pending) < spc:
+                        continue
+                    unit, pending = pending, []
+                else:
+                    unit = [batch]
+                prev_done = steps_done
+                state, metrics = execute(state, unit)
+                steps_done += len(unit)
+                bookkeep(metrics, prev_done)
                 if max_steps and steps_done >= max_steps:
                     break
                 if steps_done % config.steps_per_epoch == 0:
                     break
+            # The pipeline may end mid-group (short epoch): flush leftovers
+            # as single steps so no drawn batch is dropped.
+            for batch in pending:
+                if max_steps and steps_done >= max_steps:
+                    break
+                prev_done = steps_done
+                state, metrics = execute(state, [batch])
+                steps_done += 1
+                bookkeep(metrics, prev_done)
             row = {
                 "epoch": epoch,
                 "step": int(state.step),
@@ -190,7 +247,11 @@ def fit(
             }
 
             for k, v in epoch_metrics.items():
-                row[k] = float(np.mean([float(x) for x in v]))
+                # entries are scalars (single steps) or (K,) arrays (fused
+                # groups); each array element is one step's metric.
+                row[k] = float(np.mean(np.concatenate(
+                    [np.asarray(x, np.float64).ravel() for x in v]
+                )))
             if math.isnan(row.get("total_loss", 0.0)):
                 raise NaNLossError(f"non-finite epoch loss at epoch {epoch}")
             if val_fn is not None:

@@ -41,6 +41,7 @@ from jpeg_detection_resnet_ssd_tpu.parallel import (
     param_shardings,
     replicate_sharding,
 )
+from jpeg_detection_resnet_ssd_tpu.parallel.mesh import stacked_batch_sharding
 
 
 class TrainState(struct.PyTreeNode):
@@ -145,6 +146,11 @@ class Trainer:
         bs = batch_sharding(self.mesh)
         return jax.tree_util.tree_map(lambda _: bs, batch)
 
+    def stacked_batch_shardings(self, batches):
+        """Shardings for a K-stacked batch pytree (see `train_steps`)."""
+        bs = stacked_batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda _: bs, batches)
+
     def _step(self, state: TrainState, batch, dropout_rng):
         # Independent per-step streams for augmentation vs dropout: folding
         # the same key into both would correlate augmentation randomness with
@@ -191,6 +197,32 @@ class Trainer:
     def train_step(self):
         """Jitted, sharded (state, batch, rng) -> (state, metrics)."""
         return jax.jit(self._step, donate_argnums=(0,) if self.donate else ())
+
+    @functools.cached_property
+    def train_steps(self):
+        """Fused multi-step: (state, batches, rng) -> (state, metrics).
+
+        `batches` is `train_step`'s batch pytree with a leading scan axis K
+        on every leaf (K pre-staged batches); the K optimization steps run as
+        ONE compiled program (`lax.scan`), so per-dispatch overhead — host
+        round-trips, relay/PCIe latency, Python — is paid once per K steps
+        instead of per step.  Step semantics are EXACTLY `train_step`'s:
+        `_step` folds the per-step RNG from `state.step`, so augmentation and
+        dropout streams are identical to K sequential calls (pinned by
+        `tests/test_trainer.py::test_train_steps_scan_matches_sequential`).
+        Returned metrics carry the scan axis: each value has shape (K,).
+
+        The reference's Keras `fit_generator` has no analog — every step is a
+        separate `session.run` (`classification_part/training.py:179-198`).
+        """
+
+        def steps(state, batches, dropout_rng):
+            def body(s, b):
+                return self._step(s, b, dropout_rng)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.jit(steps, donate_argnums=(0,) if self.donate else ())
 
     def eval_step(self):
         def step(state: TrainState, inputs):

@@ -290,3 +290,134 @@ def test_in_step_dct_augment_and_encode(rng):
     # step counter feeds the augment rng: consecutive steps see different
     # crops, so the losses differ
     assert float(m1["total_loss"]) != float(m2["total_loss"])
+
+
+def test_train_steps_scan_matches_sequential(rng):
+    """The fused K-step scan (`Trainer.train_steps`) is step-for-step
+    equivalent to K sequential `train_step` calls: same per-step RNG folding
+    (dropout + augmentation keyed off state.step), same final params/opt
+    state, same per-step losses."""
+    mesh = make_mesh()
+    K, B = 3, 8
+
+    def make(trainer_cls=Trainer):
+        return trainer_cls(
+            model=TinyClassifier(),
+            loss_fn=classification_loss_fn(),
+            optimizer=optax.sgd(0.05, momentum=0.9),
+            mesh=mesh,
+            donate=False,
+        )
+
+    batches = []
+    for i in range(K):
+        y, cbcr = _toy_batch(np.random.default_rng(100 + i), B)
+        labels = np.random.default_rng(200 + i).integers(0, 4, B)
+        batches.append({"inputs": (y, cbcr), "labels": labels})
+
+    key = jax.random.PRNGKey(5)
+    with mesh:
+        trainer = make()
+        state_seq = trainer.init_state(
+            jax.random.PRNGKey(0), (batches[0]["inputs"][0][:1],
+                                    batches[0]["inputs"][1][:1])
+        )
+        seq_losses = []
+        for b in batches:
+            b = jax.device_put(b, trainer.batch_shardings(b))
+            state_seq, m = trainer.train_step(state_seq, b, key)
+            seq_losses.append(float(m["loss"]))
+
+        state_fused = trainer.init_state(
+            jax.random.PRNGKey(0), (batches[0]["inputs"][0][:1],
+                                    batches[0]["inputs"][1][:1])
+        )
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        stacked = jax.device_put(
+            stacked, trainer.stacked_batch_shardings(stacked)
+        )
+        state_fused, m = trainer.train_steps(state_fused, stacked, key)
+
+    assert int(state_fused.step) == int(state_seq.step) == K
+    fused_losses = np.asarray(m["loss"])
+    assert fused_losses.shape == (K,)
+    np.testing.assert_allclose(fused_losses, seq_losses, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_fused.params),
+        jax.tree_util.tree_leaves(state_seq.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_fused.batch_stats),
+        jax.tree_util.tree_leaves(state_seq.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fit_steps_per_call_matches_single(tmp_path, rng):
+    """`fit(steps_per_call=K)` trains identically to the sequential loop and
+    respects epoch boundaries (groups never straddle them), including a
+    leftover partial group at the pipeline tail."""
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import fit
+
+    class FixedPipeline:
+        """7 deterministic batches per epoch (odd count: the last one lands
+        in a partial pending group when steps_per_call=2)."""
+
+        def __init__(self):
+            self.batches = []
+            for i in range(7):
+                g = np.random.default_rng(1000 + i)
+                y, cbcr = _toy_batch(g, 8)
+                self.batches.append({
+                    "inputs": (y, cbcr),
+                    "labels": g.integers(0, 4, 8),
+                })
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    # steps_per_epoch > len(pipeline): each epoch ends by pipeline
+    # exhaustion with one batch stuck in the pending group (7 batches,
+    # K=2) — exercises the leftover single-step flush.
+    config = ExperimentConfig(
+        model="tiny", task="classification", batch_size=8, epochs=2,
+        steps_per_epoch=10, learning_rate=0.05, output_dir=str(tmp_path),
+    )
+
+    import jpeg_detection_resnet_ssd_tpu.train.loop as loop_mod
+
+    def fake_build_model(name, **kw):
+        module = TinyClassifier()
+        return module, lambda: (np.zeros((1, 12, 12, 16), np.float32),
+                                np.zeros((1, 6, 6, 32), np.float32))
+
+    orig = loop_mod.build_model
+    loop_mod.build_model = fake_build_model
+    try:
+        state1, hist1 = fit(config, FixedPipeline(), log_every=3)
+        state2, hist2 = fit(config, FixedPipeline(), log_every=3,
+                            steps_per_call=2)
+    finally:
+        loop_mod.build_model = orig
+
+    # 7 steps in epoch 0 (pipeline exhausts), then 3 in epoch 1 when
+    # steps_done hits the global steps_per_epoch boundary (10) — identical
+    # step accounting in both modes is part of the contract.
+    assert int(state1.step) == int(state2.step) == 10
+    np.testing.assert_allclose(
+        hist1[-1]["total_loss"], hist2[-1]["total_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
