@@ -49,24 +49,15 @@ BATCH = 32
 CHAIN = 10  # short chain; the long chain is 4x this
 TRIALS = 2  # best-of; relay stalls make more trials expensive, not better
 
+# ONE definition of the measurement-critical slope protocol, shared with
+# every scripts/profile_*.py (jpeg_detection_resnet_ssd_tpu/utils/timing.py).
+from jpeg_detection_resnet_ssd_tpu.utils.timing import (  # noqa: E402
+    slope_seconds as _slope_seconds,
+)
+
 
 def slope_seconds(build_chained, n, trials=TRIALS):
-    """Per-iteration seconds as the slope between chains of n and 4n."""
-    short, long = build_chained(n), build_chained(4 * n)
-
-    def best_of(f):
-        val = float(f())  # compile + warm
-        assert np.isfinite(val), f"non-finite chained value {val}"
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short = best_of(short)
-    t_long = best_of(long)
-    return max(t_long - t_short, 1e-9) / (3 * n)
+    return _slope_seconds(build_chained, n, trials=trials)
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):

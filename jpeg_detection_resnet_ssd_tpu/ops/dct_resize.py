@@ -94,17 +94,25 @@ def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
     length = jnp.asarray(length, jnp.float32)
     o = jnp.arange(dst_px, dtype=jnp.float32)
     step = length / dst_px
-    s = start + (o + 0.5) * step - 0.5  # (dst,)
-    s = jnp.where(
-        jnp.asarray(clamp), jnp.clip(s, 0.0, float(src_px - 1)), s
+    s_raw = start + (o + 0.5) * step - 0.5  # (dst,)
+    clamp_t = jnp.asarray(clamp)
+    # cv2 border semantics under clamp differ by kernel: INTER_LINEAR /
+    # INTER_NEAREST clip the SAMPLE COORDINATE to [0, src-1] (for 2-tap
+    # kernels that is identical to clipping the taps), but INTER_CUBIC /
+    # INTER_LANCZOS4 keep the fractional coordinate and clip only the TAP
+    # INDICES (border replicate) — clipping s there would zero the fraction
+    # at the borders and collapse the kernel onto the edge pixel, diverging
+    # from cv2 on the first/last output rows/cols of any in-bounds upscale.
+    s_lin = jnp.where(
+        clamp_t, jnp.clip(s_raw, 0.0, float(src_px - 1)), s_raw
     )
     src = jnp.arange(src_px, dtype=jnp.float32)
-    i0 = jnp.floor(s)
-    frac = s - i0
+    i0_lin = jnp.floor(s_lin)
+    frac_lin = s_lin - i0_lin
+    i0_raw = jnp.floor(s_raw)
+    frac_raw = s_raw - i0_raw
 
-    clamp_t = jnp.asarray(clamp)
-
-    def taps_matrix(offsets, weights):
+    def taps_matrix(i0, offsets, weights):
         """Dense W from per-output tap (index, weight) lists; with clamp,
         out-of-range taps fold onto the edge columns (border replicate)."""
         W = jnp.zeros((dst_px, src_px), jnp.float32)
@@ -119,18 +127,22 @@ def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
         return W
 
     # bilinear: 2 taps
-    W_bl = taps_matrix((0.0, 1.0), (1.0 - frac, frac))
+    W_bl = taps_matrix(i0_lin, (0.0, 1.0), (1.0 - frac_lin, frac_lin))
     # nearest: one-hot at round(s)
-    W_nn = jnp.where(src[None, :] - jnp.round(s)[:, None] == 0.0, 1.0, 0.0)
+    W_nn = jnp.where(
+        src[None, :] - jnp.round(s_lin)[:, None] == 0.0, 1.0, 0.0
+    )
     # cubic: 4 taps at i0-1 .. i0+2
     cub_off = (-1.0, 0.0, 1.0, 2.0)
-    W_cu = taps_matrix(cub_off, [_cubic_kernel(frac - k) for k in cub_off])
+    W_cu = taps_matrix(
+        i0_raw, cub_off, [_cubic_kernel(frac_raw - k) for k in cub_off]
+    )
     # lanczos4: 8 taps at i0-3 .. i0+4, normalized to unit row sum (cv2
     # normalizes its coefficient tables)
     lz_off = tuple(float(k) for k in range(-3, 5))
-    lz_w = [_lanczos_kernel(frac - k) for k in lz_off]
+    lz_w = [_lanczos_kernel(frac_raw - k) for k in lz_off]
     lz_sum = sum(lz_w)
-    W_lz = taps_matrix(lz_off, [w / lz_sum for w in lz_w])
+    W_lz = taps_matrix(i0_raw, lz_off, [w / lz_sum for w in lz_w])
     # area: fractional overlap of the source span [b, b+step) with each
     # source pixel cell [i, i+1), normalized by the span
     b = start + o * step

@@ -1,0 +1,76 @@
+"""The chained-slope timing protocol — ONE definition for every benchmark.
+
+This environment's TPU relay (a) acks `block_until_ready` before true device
+completion and (b) adds a ~25 ms FIXED round trip per dispatch, so the only
+trustworthy timing is: N executions CHAINED inside one jitted program via a
+real data dependency, completion forced by a host readback of one scalar,
+and the per-iteration time taken as the SLOPE between two chain lengths —
+(T(4n) - T(n)) / 3n — which cancels the fixed dispatch cost exactly.  See
+BENCHMARK.md "measurement integrity" for the measurements behind this.
+
+Two caveats the helpers below encode:
+  * XLA HOISTS loop-invariant work out of a timing scan — every input the
+    body consumes must be perturbed by the running accumulator (a literal
+    `* 0` factor does not count: it can be algebraically folded);
+  * chips from the relay pool vary in load — only compare numbers measured
+    interleaved within one process (run a matmul canary alongside).
+
+Used by `bench.py` (driver-scored) and every `scripts/profile_*.py`.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def slope_seconds(build_chained, n: int, trials: int = 2) -> float:
+    """Per-iteration seconds as the slope between chains of n and 4n.
+
+    `build_chained(length)` must return a ZERO-ARG callable executing
+    `length` chained iterations and returning a host-readable scalar
+    (its `float()` is the completion barrier).  Each chain is compiled +
+    warmed once, then timed `trials` times (best-of: host stalls only ever
+    ADD time).
+    """
+    short, long = build_chained(n), build_chained(4 * n)
+
+    def best_of(f):
+        val = float(f())  # compile + warm
+        assert np.isfinite(val), f"non-finite chained value {val}"
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = best_of(short)
+    t_long = best_of(long)
+    return max(t_long - t_short, 1e-9) / (3 * n)
+
+
+def chained_seconds(step_fn, carry, n: int, trials: int = 3) -> float:
+    """`slope_seconds` convenience for a `step_fn(carry) -> carry` body.
+
+    The carry must thread a REAL data dependency through every iteration
+    (perturb each input by the accumulator); it reduces to one scalar for
+    the host readback.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def build(length):
+        @jax.jit
+        def chained(c):
+            def body(c, _):
+                return step_fn(c), None
+
+            out, _ = jax.lax.scan(body, c, None, length=length)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+
+        return lambda: chained(carry)
+
+    return slope_seconds(build, n, trials=trials)

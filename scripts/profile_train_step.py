@@ -25,52 +25,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import time
 
 import numpy as np
 
 
-def chained_seconds(step_fn, carry, n, trials=3):
-    """Slope-based seconds per execution of `step_fn` under the chained
-    protocol.
-
-    `step_fn(carry) -> carry` must thread a real data dependency; the carry
-    reduces to one scalar read back on host.  Every dispatch through this
-    environment's TPU relay carries a ~25 ms FIXED round trip, so a single
-    chain length over-reports small kernels by overhead/n; timing chains of
-    length n and 4n and taking the slope (T(4n) - T(n)) / 3n cancels the
-    fixed cost exactly.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    def build(length):
-        @jax.jit
-        def chained(carry):
-            def body(c, _):
-                return step_fn(c), None
-
-            out, _ = jax.lax.scan(body, carry, None, length=length)
-            leaves = jax.tree_util.tree_leaves(out)
-            return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-
-        return chained
-
-    short, long = build(n), build(4 * n)
-
-    def best_of(f):
-        val = float(f(carry))  # compile + warm
-        assert np.isfinite(val), f"non-finite chained value {val}"
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f(carry))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short = best_of(short)
-    t_long = best_of(long)
-    return max(t_long - t_short, 1e-9) / (3 * n)
+# ONE definition of the measurement-critical protocol, shared with bench.py
+# and the other profile scripts (re-exported here for their imports).
+from jpeg_detection_resnet_ssd_tpu.utils.timing import (  # noqa: E402
+    chained_seconds,
+    slope_seconds,
+)
 
 
 def main():
@@ -226,7 +190,9 @@ def main():
     def encode_only(c):
         g, acc = c
         t = encoder.encode_fn(g, gt_mask)
-        return (g + acc * 0, acc + jnp.sum(t).astype(jnp.float32) * 1e-9)
+        # nonzero factor: a literal *0 could be algebraically folded, making
+        # the encoder loop-invariant and hoisted out of the timing scan
+        return (g + acc * 1e-20, acc + jnp.sum(t).astype(jnp.float32) * 1e-9)
 
     record("target_encode_only", chained_seconds(
         encode_only, (gt, jnp.float32(0)), args.chain * 4))

@@ -800,6 +800,34 @@ class TestInterpModes:
         want = cv2.resize(P, (32, 32), interpolation=cv2.INTER_CUBIC)
         np.testing.assert_allclose(got, want, atol=5e-2)
 
+    def test_cubic_upscale_matches_cv2(self, rng):
+        """Upscales push the sample coordinate past the borders (s < 0 at
+        the first output row): cv2 keeps the fractional coordinate there and
+        clips only the tap indices — clipping s itself collapses the cubic
+        kernel onto the edge pixel (observed max border error ~24 intensity
+        units before the fix)."""
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import INTERP_CUBIC
+
+        blocks, P = self._pixels(rng, hb=3, wb=3)  # 24 px source
+        got = self._run(blocks, INTERP_CUBIC, out=64)  # 24 -> 64 upscale
+        want = cv2.resize(P, (64, 64), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
+    def test_lanczos_upscale_matches_cv2(self, rng):
+        """Same border semantics for the 8-tap lanczos kernel."""
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.ops.dct_resize import (
+            INTERP_LANCZOS4,
+        )
+
+        blocks, P = self._pixels(rng, hb=3, wb=3)
+        got = self._run(blocks, INTERP_LANCZOS4, out=64)
+        want = cv2.resize(P, (64, 64), interpolation=cv2.INTER_LANCZOS4)
+        np.testing.assert_allclose(got, want, atol=0.5)
+
     def test_area_matches_cv2(self, rng):
         import cv2
 
