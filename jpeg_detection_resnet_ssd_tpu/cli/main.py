@@ -514,18 +514,30 @@ def cmd_infer(args):
     )
     y, cbcr = rgb_to_dct_tensors(img300)
     inputs = (y[None].astype(np.float32), cbcr[None].astype(np.float32))
-    variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
-    if args.weights:
-        from jpeg_detection_resnet_ssd_tpu.compat import import_weights_by_name
+    if args.exported:
+        # AOT serving artifact: no model-building code, weights baked in.
+        from jpeg_detection_resnet_ssd_tpu.serve import load_serving_artifact
 
-        variables, _ = import_weights_by_name(variables, args.weights,
-                                              verbose=True)
-    decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
-    out = np.asarray(
-        jax.jit(lambda v, i: decode(module.apply(v, i, train=False)))(
-            variables, inputs
-        )
-    )[0]
+        fn, manifest = load_serving_artifact(args.exported)
+        if not manifest.get("symbolic_batch"):
+            b = manifest["inputs"][0]["shape"][0]
+            inputs = tuple(np.repeat(x, b, axis=0) for x in inputs)
+        out = np.asarray(fn(*inputs))[0]
+    else:
+        variables = module.init(jax.random.PRNGKey(0), inputs, train=False)
+        if args.weights:
+            from jpeg_detection_resnet_ssd_tpu.compat import (
+                import_weights_by_name,
+            )
+
+            variables, _ = import_weights_by_name(variables, args.weights,
+                                                  verbose=True)
+        decode = make_inference_fn(n_classes=20, spec=AnchorSpec())
+        out = np.asarray(
+            jax.jit(lambda v, i: decode(module.apply(v, i, train=False)))(
+                variables, inputs
+            )
+        )[0]
     rows = out[out[:, 1] >= args.confidence]
     rows = rows[np.isfinite(rows).all(axis=1)]
     rows = inverter(rows) if len(rows) else rows
@@ -546,6 +558,109 @@ def cmd_infer(args):
         )
     im.save(args.output)
     print(f"{len(rows)} detections -> {args.output}")
+
+
+def cmd_export(args):
+    """AOT-export a serving artifact (StableHLO, weights baked in).
+
+    Source is either a training run (`--run-dir`, restores the checkpoint
+    like `evaluate`) or a fresh model (`--model`, optionally `--weights` H5).
+    Detection models export forward + decode to (B, top_k, 6) detections;
+    classification models export logits.  See `serve/export.py`.
+    """
+    import jax
+    import numpy as np
+
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.models import (
+        build_model,
+        make_inference_fn,
+    )
+    from jpeg_detection_resnet_ssd_tpu.serve import (
+        build_serving_fn,
+        export_serving_artifact,
+    )
+
+    if args.run_dir:
+        from jpeg_detection_resnet_ssd_tpu.train.checkpoints import (
+            CheckpointManager,
+        )
+        from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+        from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+        config = ExperimentConfig.load(
+            os.path.join(args.run_dir, "saved_config.json")
+        )
+        trainer, module, example_inputs = build_trainer(config)
+        with trainer.mesh:
+            state = trainer.init_state(
+                jax.random.PRNGKey(0), example_inputs()
+            )
+            state = CheckpointManager(
+                os.path.join(args.run_dir, "checkpoints")
+            ).restore(state)
+        variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        model_name, task = config.model, config.task
+    else:
+        module, example_inputs = build_model(args.model, n_classes=20)
+        variables = module.init(
+            jax.random.PRNGKey(0), example_inputs(), train=False
+        )
+        if args.weights:
+            from jpeg_detection_resnet_ssd_tpu.compat import (
+                import_weights_by_name,
+            )
+
+            variables, _ = import_weights_by_name(variables, args.weights)
+        model_name = args.model
+        task = "detection" if model_name.startswith("ssd300") else (
+            "classification"
+        )
+
+    decode = None
+    if task == "detection":
+        # nms_impl defaults to the portable XLA path so one artifact can
+        # carry both cpu and tpu lowerings; pass --nms-impl pallas to pin
+        # the TPU kernel into a tpu-only artifact.
+        decode = make_inference_fn(
+            n_classes=20, spec=AnchorSpec(),
+            confidence_thresh=args.confidence, top_k=args.top_k,
+            nms_impl=args.nms_impl,
+            candidate_selector=args.candidate_selector,
+        )
+    serving_fn = build_serving_fn(
+        module, variables, decode_fn=decode, fold_bn=not args.no_fold_bn
+    )
+
+    example = example_inputs()
+    example = example if isinstance(example, tuple) else (example,)
+    inputs = tuple(
+        np.zeros((args.batch_size,) + x.shape[1:], x.dtype) for x in example
+    )
+    manifest = export_serving_artifact(
+        serving_fn, inputs, args.output,
+        platforms=args.platforms.split(",") if args.platforms else None,
+        symbolic_batch=args.symbolic_batch,
+        manifest_extra={
+            "model": model_name,
+            "task": task,
+            "fold_bn": not args.no_fold_bn,
+            "decode": None if decode is None else {
+                "confidence_thresh": args.confidence,
+                "top_k": args.top_k,
+                "nms_impl": args.nms_impl,
+                "candidate_selector": args.candidate_selector,
+            },
+        },
+    )
+    print(json.dumps({
+        "output": args.output, "bytes": manifest["bytes"],
+        "platforms": manifest["platforms"],
+        "inputs": manifest["inputs"],
+    }))
 
 
 def cmd_bench(args):
@@ -689,9 +804,38 @@ def build_parser():
     inf.add_argument("--image", required=True)
     inf.add_argument("--model", default="ssd300_ssd_custom")
     inf.add_argument("--weights", default=None)
+    inf.add_argument("--exported", default=None,
+                     help="serving-artifact dir from `export` (bypasses "
+                          "model build; weights come from the artifact)")
     inf.add_argument("--confidence", type=float, default=0.2)
     inf.add_argument("--output", default="detections.png")
     inf.set_defaults(fn=cmd_infer)
+
+    ex = sub.add_parser("export")
+    src = ex.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run-dir", default=None,
+                     help="training run to export (restores the checkpoint)")
+    src.add_argument("--model", default=None,
+                     help="registry model name (fresh init; combine with "
+                          "--weights for a Keras H5)")
+    ex.add_argument("--weights", default=None)
+    ex.add_argument("--output", required=True, help="artifact directory")
+    ex.add_argument("--batch-size", type=int, default=32)
+    ex.add_argument("--symbolic-batch", action="store_true",
+                    help="export with a symbolic batch dimension (one "
+                         "artifact serves any batch size)")
+    ex.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms, e.g. cpu,tpu "
+                         "(default: the current backend only)")
+    ex.add_argument("--no-fold-bn", action="store_true",
+                    help="skip BatchNorm folding (kept for A/B checks)")
+    ex.add_argument("--confidence", type=float, default=0.01)
+    ex.add_argument("--top-k", type=int, default=200)
+    ex.add_argument("--nms-impl", default="xla",
+                    choices=["xla", "pallas", "auto"])
+    ex.add_argument("--candidate-selector", default="exact",
+                    choices=["exact", "shared"])
+    ex.set_defaults(fn=cmd_export)
 
     be = sub.add_parser("bench")
     be.add_argument("--model", default="ssd300_ssd_custom")
