@@ -375,22 +375,41 @@ def cmd_evaluate(args):
     )
 
     with trainer.mesh:
-        state = trainer.init_state(jax.random.PRNGKey(0), example_inputs())
-        ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
-        state = ckpt.restore(state)
+        if args.exported:
+            # mAP straight from an AOT serving artifact: proves the exported
+            # graph is production-equivalent to the in-process path. Export
+            # with --candidate-selector exact --batch-size <this batch size>
+            # (or --symbolic-batch) for the literal reference protocol.
+            from jpeg_detection_resnet_ssd_tpu.serve import (
+                load_serving_artifact,
+            )
 
-        # mAP protocol: literal reference semantics (full per-class top-k),
-        # not the faster shared candidate pool used for serving.
-        decode = make_inference_fn(
-            n_classes=20, spec=AnchorSpec(), candidate_selector="exact"
-        )
+            exported_fn, _ = load_serving_artifact(args.exported)
 
-        @jax.jit
-        def infer(inputs):
-            variables = {
-                "params": state.params, "batch_stats": state.batch_stats
-            }
-            return decode(module.apply(variables, inputs, train=False))
+            def infer(inputs):
+                inputs = inputs if isinstance(inputs, tuple) else (inputs,)
+                return exported_fn(*inputs)
+        else:
+            state = trainer.init_state(
+                jax.random.PRNGKey(0), example_inputs()
+            )
+            ckpt = CheckpointManager(
+                os.path.join(args.run_dir, "checkpoints")
+            )
+            state = ckpt.restore(state)
+
+            # mAP protocol: literal reference semantics (full per-class
+            # top-k), not the faster shared candidate pool used for serving.
+            decode = make_inference_fn(
+                n_classes=20, spec=AnchorSpec(), candidate_selector="exact"
+            )
+
+            @jax.jit
+            def infer(inputs):
+                variables = {
+                    "params": state.params, "batch_stats": state.batch_stats
+                }
+                return decode(module.apply(variables, inputs, train=False))
 
         ds = DetectionDataset.from_voc(
             os.path.join(args.voc_root, "JPEGImages"),
@@ -631,9 +650,53 @@ def cmd_export(args):
             nms_impl=args.nms_impl,
             candidate_selector=args.candidate_selector,
         )
-    serving_fn = build_serving_fn(
-        module, variables, decode_fn=decode, fold_bn=not args.no_fold_bn
-    )
+    if args.quantize == "int8":
+        import jax.numpy as jnp
+
+        from jpeg_detection_resnet_ssd_tpu.serve import quantize_for_serving
+
+        if args.calib_voc_root:
+            from jpeg_detection_resnet_ssd_tpu.data import (
+                DetectionDataset,
+                DetectionPipeline,
+            )
+
+            ds = DetectionDataset.from_voc(
+                os.path.join(args.calib_voc_root, "JPEGImages"),
+                os.path.join(args.calib_voc_root, "ImageSets", "Main",
+                             args.calib_image_set),
+                os.path.join(args.calib_voc_root, "Annotations"),
+            )
+            pipe = DetectionPipeline(
+                ds, args.batch_size, train=False, encoder=None,
+                num_workers=2,
+            )
+            calib = []
+            for batch in pipe:
+                calib.append(batch["inputs"])
+                if len(calib) >= args.calib_batches:
+                    break
+        else:
+            print("warning: int8 calibration on synthetic example inputs; "
+                  "pass --calib-voc-root for real activation ranges",
+                  file=sys.stderr)
+            ex = example_inputs()
+            calib = [ex]
+        qfn, qinfo = quantize_for_serving(
+            module, variables, calib, fold_bn=not args.no_fold_bn
+        )
+        print(json.dumps({"quantized_convs": len(qinfo["quantized"]),
+                          "kept_float": qinfo["kept_float"]}),
+              file=sys.stderr)
+        if decode is None:
+            serving_fn = qfn
+        else:
+            def serving_fn(*inputs):
+                return decode(qfn(*inputs).astype(jnp.float32))
+    else:
+        serving_fn = build_serving_fn(
+            module, variables, decode_fn=decode, fold_bn=not args.no_fold_bn
+        )
 
     example = example_inputs()
     example = example if isinstance(example, tuple) else (example,)
@@ -648,6 +711,7 @@ def cmd_export(args):
             "model": model_name,
             "task": task,
             "fold_bn": not args.no_fold_bn,
+            "quantize": args.quantize,
             "decode": None if decode is None else {
                 "confidence_thresh": args.confidence,
                 "top_k": args.top_k,
@@ -783,6 +847,11 @@ def build_parser():
     ev.add_argument("--predict-only", action="store_true",
                     help="write predictions without computing mAP "
                          "(for annotation-less test sets)")
+    ev.add_argument("--exported", default=None,
+                    help="serving-artifact dir from `export`: compute mAP "
+                         "from the AOT artifact instead of the checkpoint "
+                         "(export with --candidate-selector exact and "
+                         "--symbolic-batch for the reference protocol)")
     ev.set_defaults(fn=cmd_evaluate)
 
     ec = sub.add_parser("evaluate-classify")
@@ -829,6 +898,15 @@ def build_parser():
                          "(default: the current backend only)")
     ex.add_argument("--no-fold-bn", action="store_true",
                     help="skip BatchNorm folding (kept for A/B checks)")
+    ex.add_argument("--quantize", default=None, choices=["int8"],
+                    help="post-training int8 trunk quantization "
+                         "(serve/quantize.py): ~2x MXU rate, ~4x smaller "
+                         "artifact; input stems + heads stay float")
+    ex.add_argument("--calib-voc-root", default=None,
+                    help="VOC root for activation-range calibration "
+                         "(recommended with --quantize)")
+    ex.add_argument("--calib-image-set", default="trainval.txt")
+    ex.add_argument("--calib-batches", type=int, default=8)
     ex.add_argument("--confidence", type=float, default=0.01)
     ex.add_argument("--top-k", type=int, default=200)
     ex.add_argument("--nms-impl", default="xla",

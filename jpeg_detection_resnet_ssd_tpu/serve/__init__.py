@@ -14,6 +14,11 @@ callbacks).  The TPU-native equivalent built here is stronger:
     artifact via `jax.export`: one self-contained file, loadable and
     runnable WITHOUT the model-building Python code, optionally lowered for
     several platforms (cpu + tpu) and with a symbolic batch dimension.
+  * `quantize_for_serving` — post-training int8 trunk quantization
+    (per-output-channel weights, max-calibrated per-tensor activations,
+    int32 MXU accumulation) swapped in at trace time via flax method
+    interception, so it needs no model-code changes and composes with
+    folding + export.
 """
 
 from jpeg_detection_resnet_ssd_tpu.serve.folding import (
@@ -25,6 +30,12 @@ from jpeg_detection_resnet_ssd_tpu.serve.export import (
     export_serving_artifact,
     load_serving_artifact,
 )
+from jpeg_detection_resnet_ssd_tpu.serve.quantize import (
+    calibrate_activation_scales,
+    make_quantized_apply,
+    quantize_conv_weights,
+    quantize_for_serving,
+)
 
 __all__ = [
     "bn_fold_pairs",
@@ -32,4 +43,8 @@ __all__ = [
     "build_serving_fn",
     "export_serving_artifact",
     "load_serving_artifact",
+    "calibrate_activation_scales",
+    "make_quantized_apply",
+    "quantize_conv_weights",
+    "quantize_for_serving",
 ]

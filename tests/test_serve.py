@@ -196,3 +196,69 @@ class TestExport:
         assert got.shape == (1, 20, 6)
         # same function modulo BN folding's float re-association
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+class TestQuantize:
+    def test_single_conv_error_bounded(self):
+        import flax.linen as nn
+
+        from jpeg_detection_resnet_ssd_tpu.serve import (
+            calibrate_activation_scales,
+            make_quantized_apply,
+            quantize_conv_weights,
+        )
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Conv(32, (3, 3), name="c")(x)
+
+        m = M()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 16)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        scales = calibrate_activation_scales(m, v, [x])
+        assert list(scales) == ["c"]
+        qw = quantize_conv_weights(v, scales, skip=())
+        fn = make_quantized_apply(m, v, scales, qw)
+        got = np.asarray(jax.jit(fn)(x), np.float64)
+        want = np.asarray(m.apply(v, x), np.float64)
+        rel_rms = np.sqrt(np.mean((got - want) ** 2)) / (
+            np.sqrt(np.mean(want**2)) + 1e-12
+        )
+        assert rel_rms < 0.05, rel_rms
+        # and it genuinely differs (int8 ran, not the float path)
+        assert np.max(np.abs(got - want)) > 0
+
+    def test_default_skip_keeps_sensitive_layers_float(self):
+        from jpeg_detection_resnet_ssd_tpu.serve import quantize_for_serving
+
+        module, variables, inputs = _build("ssd300_ssd_custom")
+        fn, info = quantize_for_serving(
+            module, variables, [inputs[0] if len(inputs) == 1 else inputs]
+        )
+        assert len(info["quantized"]) >= 50  # the ResNet trunk
+        kept = "\n".join(info["kept_float"])
+        assert "head/" in kept  # box heads stay float
+        out = np.asarray(jax.jit(fn)(inputs))
+        assert np.isfinite(out).all()
+
+    def test_quantized_artifact_smaller_and_loadable(self, tmp_path):
+        from jpeg_detection_resnet_ssd_tpu.serve import (
+            export_serving_artifact,
+            load_serving_artifact,
+            quantize_for_serving,
+        )
+
+        module, variables, inputs = _build("ssd300_ssd_custom")
+        fn, _ = quantize_for_serving(module, variables, [inputs])
+        manifest = export_serving_artifact(fn, inputs, str(tmp_path))
+        # int8 trunk kernels bake as int8 constants: well under the ~157MB
+        # float artifact for the same model
+        assert manifest["bytes"] < 100_000_000
+        loaded, _ = load_serving_artifact(str(tmp_path))
+        got = np.asarray(loaded(*inputs))
+        # compare against the jitted fn (eager op-by-op execution rounds
+        # differently through 50 conv layers + softmax)
+        want = np.asarray(jax.jit(fn)(*inputs))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
