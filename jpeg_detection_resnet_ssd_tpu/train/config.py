@@ -54,6 +54,12 @@ class ExperimentConfig:
     # throughput with convergence equivalent to f32 (BENCHMARK.md); set
     # 'float32' to reproduce the reference's numerics exactly.
     compute_dtype: str = "bfloat16"  # 'float32' | 'bfloat16'
+    # Momentum accumulator dtype. The SGD update is pure HBM traffic
+    # (read params+momentum+grads, write params+momentum: ~540 MB/step on
+    # the flagship); 'bfloat16' halves the momentum share of that traffic.
+    # Off by default: it changes update numerics (momentum rounds to 8-bit
+    # mantissa each step) — opt in for throughput-critical large-scale runs.
+    momentum_dtype: str = "float32"  # 'float32' | 'bfloat16'
     remat: bool = False  # rematerialize ResNet bottleneck branches (memory)
 
     # observability

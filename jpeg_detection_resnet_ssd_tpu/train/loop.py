@@ -65,8 +65,11 @@ def _make_schedule(config: ExperimentConfig, n_replicas: int):
 
 def build_optimizer(config: ExperimentConfig, n_replicas: int = 1):
     schedule = _make_schedule(config, n_replicas)
+    acc_dtype = (None if config.momentum_dtype == "float32"
+                 else config.momentum_dtype)
     return optax.sgd(schedule, momentum=config.momentum,
-                     nesterov=config.nesterov)
+                     nesterov=config.nesterov,
+                     accumulator_dtype=acc_dtype)
 
 
 def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None,

@@ -159,6 +159,39 @@ def test_schedules():
     assert float(w(500)) == pytest.approx(0.4)
 
 
+def test_momentum_dtype_bf16():
+    """momentum_dtype='bfloat16' casts the SGD trace (halving its HBM
+    share of the update) while params stay f32 and training still steps."""
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_optimizer
+
+    config = ExperimentConfig(momentum_dtype="bfloat16", lr_decay=0.0,
+                              learning_rate=0.1)
+    tx = build_optimizer(config)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = tx.init(params)
+    traces = [l for l in jax.tree_util.tree_leaves(state)
+              if hasattr(l, "dtype")]
+    assert any(t.dtype == jnp.bfloat16 for t in traces), traces
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2)
+
+    for _ in range(3):
+        grads = jax.grad(loss)(params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert params["w"].dtype == jnp.float32
+    assert float(loss(params)) < 16.0  # strictly decreased from 1.0*16
+
+    # default config keeps the reference-exact f32 trace
+    tx32 = build_optimizer(ExperimentConfig())
+    s32 = tx32.init({"w": jnp.ones((2,), jnp.float32)})
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(s32)
+               if hasattr(l, "dtype"))
+
+
 def test_graft_entry_multichip():
     """The driver's dry run: full flagship train step on an 8-device mesh."""
     import __graft_entry__ as ge
