@@ -18,7 +18,10 @@ FIRST for robustness to truncation and REPRINTED as the final line):
     per-class threshold, NMS, top-k), the serving path and driver headline;
   * dct_ssd300_inference_int8_throughput — the same serving path with the
     int8-quantized trunk (serve/quantize.py; measured mAP cost 0.002 on a
-    trained proxy checkpoint).
+    trained proxy checkpoint);
+  * resnet50_dct_forward_throughput / resnet50_dct_train_step_throughput —
+    the classification flagship (ResNet50 deconv DCT stem, batch 256,
+    softmax CE + SGD-nesterov), the reference's ImageNet workload.
 
 Methodology (BENCHMARK.md "measurement integrity"): N executions are CHAINED
 inside one jitted program via a data dependency and completion is forced by a
@@ -123,13 +126,18 @@ def bench_forward(module, variables, y, cbcr):
     def build(n):
         @jax.jit
         def chained():
-            def body(c, _):
-                out = module.apply(variables, (c, cbcr), train=False)
-                ds = jnp.sum(out).astype(jnp.float32) * 1e-12
-                return c + ds, None
+            # BOTH inputs are perturbed by the carry — a loop-invariant
+            # branch (constant input x constant weights, e.g. the CbCr
+            # stem pre-concat) would otherwise be constant-folded out of
+            # the measured loop.
+            def body(acc, _):
+                out = module.apply(
+                    variables, (y + acc, cbcr + acc), train=False
+                )
+                return jnp.sum(out).astype(jnp.float32) * 1e-12, None
 
-            out, _ = jax.lax.scan(body, y, None, length=n)
-            return jnp.sum(out).astype(jnp.float32)
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
 
         return chained
 
@@ -219,7 +227,13 @@ def bench_train_step(module, variables, y, cbcr, augmented=False):
                     tgt = encoder.encode_fn(batch["gt"], batch["gt_mask"])
                 else:
                     yy, cc = y_in, c_in
-                    tgt = encoder.encode_fn(gt, gt_mask)
+                    # iteration-dependent sub-pixel jitter: a CONSTANT gt
+                    # would let XLA hoist the whole in-step encode out of
+                    # the timed loop (the row's name promises it's inside).
+                    gt_i = gt.at[..., 1:].add(
+                        i.astype(jnp.float32) * 1e-6
+                    )
+                    tgt = encoder.encode_fn(gt_i, gt_mask)
 
                 def loss_of(pp):
                     out, _ = module.apply(
@@ -248,6 +262,95 @@ def bench_train_step(module, variables, y, cbcr, augmented=False):
         vs_baseline=BATCH / t / P100_TRAIN_BASELINE,
         ms_per_batch=round(t * 1e3, 2),
     )
+
+
+def bench_classification(dtype, B=256, chain=CHAIN):
+    """The reference's OTHER headline workload: ImageNet-class ResNet50-DCT
+    (deconv stem — its best architecture, `README.md:211`).  Forward and
+    full training step (softmax CE + SGD-momentum), batch 256 per chip (the
+    reference's GLOBAL batch over 16 K80 ranks fits on one v5e).  Baseline
+    bound: ~50 img/s per K80 rank (ResNet50-class Keras/TF-1.8 training
+    reports), the per-device denominator of its 4x4-GPU Horovod setup."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jpeg_detection_resnet_ssd_tpu.losses import softmax_cross_entropy
+    from jpeg_detection_resnet_ssd_tpu.models import build_model
+
+    K80_TRAIN_BASELINE = 50.0
+    module, _ = build_model("resnet50_dct_deconv", dtype=dtype)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0, 100, (B, 28, 28, 64)), jnp.float32)
+    cb = jnp.asarray(rng.normal(0, 30, (B, 14, 14, 64)), jnp.float32)
+    cr = jnp.asarray(rng.normal(0, 30, (B, 14, 14, 64)), jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0), (y[:1], cb[:1], cr[:1]), train=False
+    )
+    labels = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 1000, (B,))), 1000
+    )
+
+    def build_fwd(n):
+        @jax.jit
+        def chained():
+            # ALL inputs are perturbed by the carry: a loop-invariant branch
+            # (constant input x constant weights) would be constant-folded
+            # out of the measured loop by XLA (observed on the CPU backend).
+            def body(acc, _):
+                out = module.apply(
+                    variables,
+                    (y + acc, cb + acc, cr + acc),
+                    train=False,
+                )
+                return jnp.sum(out).astype(jnp.float32) * 1e-12, None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
+
+        return chained
+
+    t = slope_seconds(build_fwd, chain)
+    emit("resnet50_dct_forward_throughput", B / t, "images/sec/chip",
+         ms_per_batch=round(t * 1e3, 2))
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
+    opt_state = tx.init(params)
+
+    def build_train(n):
+        @jax.jit
+        def chained():
+            def body(carry, _):
+                p, o = carry
+
+                def loss_of(pp):
+                    out, _ = module.apply(
+                        {"params": pp, "batch_stats": batch_stats},
+                        (y, cb, cr), train=True, mutable=["batch_stats"],
+                    )
+                    return jnp.mean(
+                        softmax_cross_entropy(
+                            out.astype(jnp.float32), labels
+                        )
+                    )
+
+                loss, grads = jax.value_and_grad(loss_of)(p)
+                updates, o2 = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o2), loss
+
+            (p_out, _), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n
+            )
+            first = jax.tree_util.tree_leaves(p_out)[0]
+            return jnp.sum(first).astype(jnp.float32) + jnp.sum(losses)
+
+        return chained
+
+    t = slope_seconds(build_train, chain)
+    emit("resnet50_dct_train_step_throughput", B / t, "images/sec/chip",
+         vs_baseline=B / t / K80_TRAIN_BASELINE,
+         ms_per_batch=round(t * 1e3, 2))
 
 
 def bench_packed_pipeline():
@@ -314,14 +417,15 @@ def bench_inference(module, variables, y, cbcr):
     def build(n):
         @jax.jit
         def chained():
-            def body(c, _):
-                preds = module.apply(variables, (c, cbcr), train=False)
+            def body(acc, _):
+                preds = module.apply(
+                    variables, (y + acc, cbcr + acc), train=False
+                )
                 out = decode(preds.astype(jnp.float32))
-                ds = jnp.sum(out[:, :, 1])
-                return c + ds * 1e-9, None
+                return jnp.sum(out[:, :, 1]) * 1e-9, None
 
-            out, _ = jax.lax.scan(body, y, None, length=n)
-            return jnp.sum(out).astype(jnp.float32)
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
 
         return chained
 
@@ -352,14 +456,13 @@ def bench_inference_int8(module, variables, y, cbcr):
     def build(n):
         @jax.jit
         def chained():
-            def body(c, _):
-                preds = qfn((c, cbcr))
+            def body(acc, _):
+                preds = qfn((y + acc, cbcr + acc))
                 out = decode(preds.astype(jnp.float32))
-                ds = jnp.sum(out[:, :, 1])
-                return c + ds * 1e-9, None
+                return jnp.sum(out[:, :, 1]) * 1e-9, None
 
-            out, _ = jax.lax.scan(body, y, None, length=n)
-            return jnp.sum(out).astype(jnp.float32)
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
 
         return chained
 
@@ -395,6 +498,7 @@ def main():
     safe(bench_train_step, module, variables, y, cbcr, True)
     safe(bench_packed_pipeline)
     safe(bench_inference_int8, module, variables, y, cbcr)
+    safe(bench_classification, jnp.bfloat16)
     print(json.dumps(headline))
     return headline
 
