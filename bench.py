@@ -29,7 +29,10 @@ host readback.  This environment's TPU relay additionally adds a ~25 ms FIXED
 round-trip per dispatch (measured: a 4096^3 matmul chain of 30 reads 1.57
 ms/iter while a chain of 200 reads 0.85; the slope gives 0.72), so every
 per-iteration number here is the SLOPE between a short and a long chain —
-(T(4n) - T(n)) / 3n — which cancels the fixed cost exactly.  Naive
+(T(4n) - T(n)) / 3n — which cancels the fixed cost exactly; the slope is
+the MEDIAN over interleaved sample pairs with physically-impossible pairs
+(long chain not slower than short) rejected, since the relay rarely also
+produces too-fast samples that a best-of-min would select.  Naive
 block_until_ready loops over-report by 2-40x and single-chain timings
 over-report small kernels by overhead/n: neither appears below.
 
@@ -53,7 +56,7 @@ P100_INFER_BASELINE = 100.0
 P100_TRAIN_BASELINE = 89.0
 BATCH = 32
 CHAIN = 10  # short chain; the long chain is 4x this
-TRIALS = 2  # best-of; relay stalls make more trials expensive, not better
+TRIALS = 3  # median over physically-consistent interleaved pairs
 
 # ONE definition of the measurement-critical slope protocol, shared with
 # every scripts/profile_*.py (jpeg_detection_resnet_ssd_tpu/utils/timing.py).

@@ -25,30 +25,49 @@ import time
 import numpy as np
 
 
-def slope_seconds(build_chained, n: int, trials: int = 2) -> float:
+def slope_seconds(build_chained, n: int, trials: int = 3) -> float:
     """Per-iteration seconds as the slope between chains of n and 4n.
 
     `build_chained(length)` must return a ZERO-ARG callable executing
     `length` chained iterations and returning a host-readable scalar
     (its `float()` is the completion barrier).  Each chain is compiled +
-    warmed once, then timed `trials` times (best-of: host stalls only ever
-    ADD time).
+    warmed once, then the two chains are timed in INTERLEAVED PAIRS and the
+    reported slope is the MEDIAN over physically-consistent pairs.
+
+    Why not best-of-min: host stalls only ever ADD time, but this relay has
+    also produced rare too-FAST samples (a long chain returning in roughly
+    the short chain's time — observed once in ~10 canary runs; a min() then
+    selects exactly the corrupted sample and the slope collapses to ~0,
+    reporting absurd throughput).  A pair whose long-chain time is not
+    strictly greater than its short-chain time is physically impossible
+    (4x the chained work, same fixed dispatch cost) and is rejected;
+    the median over the surviving pairs absorbs one-sided stall noise.
     """
     short, long = build_chained(n), build_chained(4 * n)
 
-    def best_of(f):
-        val = float(f())  # compile + warm
+    def timed(f):
+        t0 = time.perf_counter()
+        val = float(f())
+        dt = time.perf_counter() - t0
         assert np.isfinite(val), f"non-finite chained value {val}"
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return dt
 
-    t_short = best_of(short)
-    t_long = best_of(long)
-    return max(t_long - t_short, 1e-9) / (3 * n)
+    timed(short)  # compile + warm
+    timed(long)
+    slopes = []
+    for _ in range(3 * trials):
+        t_s = timed(short)
+        t_l = timed(long)
+        if t_l > t_s:
+            slopes.append((t_l - t_s) / (3 * n))
+            if len(slopes) >= trials:
+                break
+    if not slopes:
+        raise RuntimeError(
+            "slope_seconds: every sample pair was physically inconsistent "
+            "(long chain never slower than short chain) — relay too noisy"
+        )
+    return float(np.median(slopes))
 
 
 def chained_seconds(step_fn, carry, n: int, trials: int = 3) -> float:
