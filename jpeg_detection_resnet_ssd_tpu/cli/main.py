@@ -384,11 +384,39 @@ def cmd_evaluate(args):
                 load_serving_artifact,
             )
 
-            exported_fn, _ = load_serving_artifact(args.exported)
+            exported_fn, manifest = load_serving_artifact(args.exported)
+            # A fixed-batch artifact bakes the leading dim into its
+            # signature, but the eval pipeline keeps the final partial
+            # batch (drop_remainder=False) — pad it up to the baked batch
+            # and trim the decoded rows back, instead of crashing mid-run
+            # on e.g. VOC07-test's 4952 % 32 tail.
+            fixed_b = (
+                None if manifest.get("symbolic_batch")
+                else manifest["inputs"][0]["shape"][0]
+            )
 
             def infer(inputs):
+                import numpy as np
+
                 inputs = inputs if isinstance(inputs, tuple) else (inputs,)
-                return exported_fn(*inputs)
+                n = int(inputs[0].shape[0])
+                if fixed_b is None or n == fixed_b:
+                    return exported_fn(*inputs)
+                if n > fixed_b:
+                    raise ValueError(
+                        f"--batch-size {n} exceeds the artifact's baked "
+                        f"batch {fixed_b}; re-export with --symbolic-batch "
+                        f"or a larger --batch-size"
+                    )
+                padded = tuple(
+                    np.concatenate(
+                        [np.asarray(x),
+                         np.zeros((fixed_b - n,) + tuple(x.shape[1:]),
+                                  np.asarray(x).dtype)]
+                    )
+                    for x in inputs
+                )
+                return np.asarray(exported_fn(*padded))[:n]
         else:
             state = trainer.init_state(
                 jax.random.PRNGKey(0), example_inputs()
@@ -624,7 +652,13 @@ def cmd_export(args):
         }
         model_name, task = config.model, config.task
     else:
-        module, example_inputs = build_model(args.model, n_classes=20)
+        # Detection factories take n_classes; classification factories do
+        # not (they default to 1000 ImageNet classes) — passing n_classes
+        # to e.g. resnet50_dct_deconv is a TypeError.
+        if args.model.startswith("ssd300"):
+            module, example_inputs = build_model(args.model, n_classes=20)
+        else:
+            module, example_inputs = build_model(args.model)
         variables = module.init(
             jax.random.PRNGKey(0), example_inputs(), train=False
         )

@@ -86,7 +86,12 @@ def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
     edge pixels; leave False for out-of-source crops, where the residual
     mass models the background canvas.
     """
-    if mode is None:
+    # `mode is None` is a STATIC fact: legacy nearest-bool callers (the v2
+    # chains) can only ever select bilinear or nearest, so skip building
+    # the cubic/area/lanczos matrices entirely for them — under a traced
+    # `mode` XLA cannot DCE the unused kernel branches of the select.
+    legacy_two_kernel = mode is None
+    if legacy_two_kernel:
         mode = jnp.where(jnp.asarray(nearest), INTERP_NEAREST,
                          INTERP_BILINEAR)
     mode = jnp.asarray(mode, jnp.int32)
@@ -132,6 +137,10 @@ def interp_matrix(src_px: int, dst_px: int, start, length, nearest=False,
     W_nn = jnp.where(
         src[None, :] - jnp.round(s_lin)[:, None] == 0.0, 1.0, 0.0
     )
+    if legacy_two_kernel:
+        W = jnp.where(mode == INTERP_NEAREST, W_nn, W_bl)
+        residual = 1.0 - jnp.sum(W, axis=1)
+        return W, residual
     # cubic: 4 taps at i0-1 .. i0+2
     cub_off = (-1.0, 0.0, 1.0, 2.0)
     W_cu = taps_matrix(
