@@ -317,6 +317,34 @@ class TestDecode:
             shared_pool_size=128, pool_topk_impl="approx", **kw))
         np.testing.assert_allclose(approx, exact, atol=1e-5)
 
+    def test_nms_k_truncation_is_prefix_stable(self, rng):
+        """nms_max_output_size=top_k yields the same detections as the
+        reference's k=2*top_k: a greedy-NMS keep decision depends only on
+        HIGHER-scored candidates, so truncating the per-class candidate
+        list at k cannot change which of the global top-k rows survive
+        (the property behind the serving preset's halved NMS lanes)."""
+        n_classes, n_boxes = 4, 500
+        y = self._fake_preds(rng, n_boxes=n_boxes, n_classes=n_classes)
+        scores = np.full((n_boxes, n_classes + 1), 1e-4, np.float32)
+        scores[:, 0] = 1.0
+        hot = rng.choice(n_boxes, 120, replace=False)
+        for i in hot:
+            c = int(rng.integers(1, n_classes + 1))
+            p = float(rng.uniform(0.1, 0.95))
+            scores[i, 0] = 1.0 - p
+            scores[i, c] = p
+        scores /= scores.sum(axis=1, keepdims=True)
+        y[0, :, : n_classes + 1] = scores
+        kw = dict(n_classes=n_classes, confidence_thresh=0.05,
+                  iou_threshold=0.45, top_k=40,
+                  img_height=300, img_width=300,
+                  candidate_selector="shared", shared_pool_size=256)
+        wide = np.asarray(decode_detections(
+            jnp.asarray(y), nms_max_output_size=80, **kw))
+        tight = np.asarray(decode_detections(
+            jnp.asarray(y), nms_max_output_size=40, **kw))
+        np.testing.assert_allclose(tight, wide, atol=1e-5)
+
     def test_decode_debug_preserves_box_ids(self, rng):
         """decode_detections_debug == decode_detections + a correct box_id
         column (`ssd_output_decoder.py:342`)."""
