@@ -277,6 +277,7 @@ def cmd_train_detect(args):
                 "pixel_hsv"
                 if getattr(args, "photometric", "dct") == "pixel" else True
             ),
+            requantize_quality=getattr(args, "requantize", None),
         )
         if args.pack_cache:
             # Decode-once corpus: epochs read memmapped coefficient tensors
@@ -865,6 +866,11 @@ def build_parser():
                          "'pixel' = exact reference HSV semantics via "
                          "on-device pixel reconstruction "
                          "(ops/pixel_photometric.py)")
+    td.add_argument("--requantize", default=None, type=int, metavar="Q",
+                    help="with --device-augment: snap each augmented view's "
+                         "coefficients to the JPEG quality-Q quantization "
+                         "grid (ops/jpeg_quant.py) — reproduces the host "
+                         "chain's per-view re-encode quantization")
     td.add_argument("--val-image-set", default=None,
                     help="ImageSets/Main/<file> for per-epoch validation "
                          "loss (e.g. val.txt)")

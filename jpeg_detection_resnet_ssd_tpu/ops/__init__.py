@@ -24,6 +24,10 @@ from jpeg_detection_resnet_ssd_tpu.ops.dct_detect_augment import (
     make_dct_detection_augment_v2,
     make_dct_detection_augment_v3,
 )
+from jpeg_detection_resnet_ssd_tpu.ops.jpeg_quant import (
+    jpeg_requantize,
+    quant_tables,
+)
 from jpeg_detection_resnet_ssd_tpu.ops.pixel_photometric import (
     dct_pixel_photometric,
     dct_pixel_photometric_apply,

@@ -491,6 +491,7 @@ def make_dct_detection_augment_v3(
     identity_prob: float = 0.3,
     photometric: bool | str = True,
     background=(123, 117, 104),
+    requantize_quality: int | None = None,
 ):
     """Device-side SSD augmentation with FULL continuous scale semantics:
     photometric -> [expand U(1,4) + min-IoU crop U(0.3,1) + bilinear resize,
@@ -500,7 +501,12 @@ def make_dct_detection_augment_v3(
     chroma-rotation hue/sat (`dct_random_photometric`, fastest);
     "pixel_hsv" = exact reference semantics via on-device pixel
     reconstruction (`pixel_photometric.dct_pixel_photometric` — true
-    hexagonal HSV walk and per-op clips); False = none."""
+    hexagonal HSV walk and per-op clips); False = none.
+
+    `requantize_quality`: if set, snap the output coefficients to that JPEG
+    quality's quantization grid (`ops/jpeg_quant.jpeg_requantize`) —
+    reproducing the host chain's per-view re-encode quantization, the last
+    distributional difference between the chains."""
     from jpeg_detection_resnet_ssd_tpu.ops.dct_augment import (
         dct_random_photometric,
     )
@@ -531,6 +537,12 @@ def make_dct_detection_augment_v3(
             identity_prob=identity_prob,
             background=background,
         )
+        if requantize_quality is not None:
+            from jpeg_detection_resnet_ssd_tpu.ops.jpeg_quant import (
+                jpeg_requantize,
+            )
+
+            y, cbcr = jpeg_requantize(y, cbcr, requantize_quality)
         out = dict(batch)
         out["inputs"] = (y, cbcr)
         out["gt"], out["gt_mask"] = gt, mask

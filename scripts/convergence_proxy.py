@@ -147,7 +147,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="host",
                    choices=["host", "device", "device_v3", "device_v4",
-                            "none", "rgb"])
+                            "device_v5", "none", "rgb"])
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -206,7 +206,9 @@ def main():
     )
     model_name = "ssd300_vgg" if args.variant == "rgb" else "ssd300_ssd_custom"
     input_format = "rgb" if args.variant == "rgb" else "dct"
-    device_variant = args.variant in ("device", "device_v3", "device_v4")
+    device_variant = args.variant in (
+        "device", "device_v3", "device_v4", "device_v5"
+    )
     # fit()'s inner loop ends when the pipeline's epoch (one corpus pass)
     # ends, so epochs must be sized for max_steps to be the binding limit.
     steps_per_pass = max(1, len(ds) // args.batch_size)
@@ -245,14 +247,20 @@ def main():
             predictor_sizes=ssd_predictor_sizes(family),
             n_classes=20,
         )
-        if args.variant in ("device_v3", "device_v4"):
+        if args.variant in ("device_v3", "device_v4", "device_v5"):
             # continuous-scale expand/crop/resize (closes the scale gap);
             # v4 additionally swaps the chroma-rotation photometric for the
-            # exact pixel-space HSV chain (ops/pixel_photometric.py)
+            # exact pixel-space HSV chain (ops/pixel_photometric.py);
+            # v5 = v4 + per-view JPEG requantization (ops/jpeg_quant.py),
+            # matching the host chain's re-encode quantization grid
             augment_fn = make_dct_detection_augment_v3(
                 out_y_blocks=38,
                 photometric=(
-                    "pixel_hsv" if args.variant == "device_v4" else True
+                    "pixel_hsv" if args.variant in ("device_v4", "device_v5")
+                    else True
+                ),
+                requantize_quality=(
+                    75 if args.variant == "device_v5" else None
                 ),
             )
         else:
