@@ -38,9 +38,11 @@ from __future__ import annotations
 import functools
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from flax.linen.dtypes import promote_dtype
 
 from jpeg_detection_resnet_ssd_tpu.boxes.anchors import (
     AnchorSpec,
@@ -49,6 +51,7 @@ from jpeg_detection_resnet_ssd_tpu.boxes.anchors import (
 )
 from jpeg_detection_resnet_ssd_tpu.boxes.decode import decode_detections
 from jpeg_detection_resnet_ssd_tpu.models.layers import (
+    HE_NORMAL,
     L2Normalization,
     batch_norm,
     conv,
@@ -74,8 +77,41 @@ def ssd_predictor_sizes(family: str) -> tuple[tuple[int, int], ...]:
     raise ValueError(f"unknown SSD family {family!r}")
 
 
+class _ConvParams(nn.Module):
+    """Owns an nn.Conv-shaped (kernel, bias) pair without applying it.
+
+    Param tree, names, shapes, and initializers match `layers.conv`
+    (`nn.Conv`: kernel (kh, kw, Cin, Cout) he_normal, bias zeros), so H5
+    import, checkpoints, and the TP sharding rule are unaffected when a
+    call site fuses several convs into one `lax.conv_general_dilated`.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            HE_NORMAL,
+            self.kernel_size + (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class _SSDHead(nn.Module):
-    """Shared conf/loc predictor heads + prediction tensor assembly."""
+    """Shared conf/loc predictor heads + prediction tensor assembly.
+
+    The conf and loc predictors on each source are OWNED as two separate
+    parameter groups (reference head names, H5-compatible) but EXECUTED as
+    one conv over the concatenated output channels: per output channel the
+    contraction is unchanged (exact same math), while the MXU sees one
+    lane-padded output block instead of two (conf Cout 84/126 and loc Cout
+    16/24 each round up to the 128-lane tile separately) and the source
+    activations are read from HBM once instead of twice.
+    """
 
     n_classes: int  # positive classes
     spec: AnchorSpec
@@ -96,13 +132,18 @@ class _SSDHead(nn.Module):
                 if self.class_suffixed_conf_names
                 else f"{name}_mbox_conf"
             )
-            c = conv(
-                n_boxes[i] * n_total, 3, 1, "SAME", name=conf_name, dtype=self.dtype
-            )(src)
-            l = conv(
-                n_boxes[i] * 4, 3, 1, "SAME", name=f"{name}_mbox_loc",
-                dtype=self.dtype,
-            )(src)
+            n_conf = n_boxes[i] * n_total
+            cin = src.shape[-1]
+            kc, bc = _ConvParams(n_conf, cin, name=conf_name)()
+            kl, bl = _ConvParams(n_boxes[i] * 4, cin, name=f"{name}_mbox_loc")()
+            kernel = jnp.concatenate([kc, kl], axis=-1)
+            bias = jnp.concatenate([bc, bl], axis=-1)
+            src, kernel, bias = promote_dtype(src, kernel, bias, dtype=self.dtype)
+            out = jax.lax.conv_general_dilated(
+                src, kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            c, l = out[..., :n_conf], out[..., n_conf:]
             confs.append(c.reshape(c.shape[0], -1, n_total))
             locs.append(l.reshape(l.shape[0], -1, 4))
         mbox_conf = jnp.concatenate(confs, axis=1)
@@ -120,12 +161,55 @@ class _SSDHead(nn.Module):
         )
 
 
+class _FC6CenterTap(nn.Module):
+    """fc6's 3x3 dilation-6 conv on a map too small for the dilated taps.
+
+    With SAME padding, kernel 3, dilation d, the off-center taps read input
+    positions offset exactly +-d from the output pixel; when the input's
+    static H and W are both <= d those positions are ALWAYS inside the zero
+    padding, so the conv equals its center-tap 1x1 conv at 1/9 the FLOPs
+    (exactness asserted on TPU: `scripts/profile_conv_bwd.py`
+    fc6_center_tap_exact; accumulating the 8 all-zero tap products is exact
+    in floating point).  On the flagship `ssd_custom` the neck map is 5x5
+    (`keras_ssd300_dct_j2d_resnet.py:481-495` at ResNet stage-5 scale), so
+    this removes ~27 of the step's GFLOPs for free.  The full (3,3,Cin,Cout)
+    kernel is still owned — same param tree as `nn.Conv`, H5 import and
+    checkpoints unchanged; the off-center taps get exactly the zero gradient
+    the dilated conv gives them.
+    """
+
+    features: int
+    dilation: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[1] <= self.dilation and x.shape[2] <= self.dilation, (
+            f"center-tap rewrite invalid: map {x.shape[1]}x{x.shape[2]} vs "
+            f"dilation {self.dilation}"
+        )
+        kernel = self.param(
+            "kernel", HE_NORMAL, (3, 3, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, kernel[1:2, 1:2], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+
 class _SSDNeckMixin(ResNetBlocks):
     """pool5 -> dilated fc6 -> fc7 (shared by every SSD variant)."""
 
     def _fc_neck(self, x, train):
         x = max_pool(x, 3, 1, "SAME")  # 'pool5_ssd'
-        x = nn.relu(conv(1024, 3, 1, "SAME", dilation=6, name="fc6", dtype=self.dtype)(x))
+        if x.shape[1] <= 6 and x.shape[2] <= 6:
+            # ssd_custom's 5x5 neck: the dilated taps never land in-bounds.
+            fc6 = _FC6CenterTap(1024, dilation=6, dtype=self.dtype, name="fc6")
+        else:
+            fc6 = conv(1024, 3, 1, "SAME", dilation=6, name="fc6", dtype=self.dtype)
+        x = nn.relu(fc6(x))
         x = nn.relu(conv(1024, 1, 1, "SAME", name="fc7", dtype=self.dtype)(x))
         return x
 

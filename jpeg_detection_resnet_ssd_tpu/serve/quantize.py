@@ -40,8 +40,25 @@ from flax import traverse_util
 # Layers where int8 error is disproportionate: the stem convs that consume
 # raw DCT coefficients (dynamic range in the hundreds -> coarse per-tensor
 # activation steps) and the detection heads (box offsets are regressed in
-# units of ~0.1 anchor widths).
+# units of ~0.1 anchor widths).  The head pattern is kept for back-compat
+# even though `models/ssd.py:_SSDHead` now executes its conf/loc pairs as
+# raw fused `lax` convs (never intercepted, so always float regardless).
 DEFAULT_SKIP = (r"conv1_1_dct", r"head/.*", r"deconv_c[br]")
+
+
+def _conv_like_types():
+    """Module classes the quantizer treats as a conv.
+
+    `_FC6CenterTap` (models/ssd.py) owns an nn.Conv-shaped (kernel, bias)
+    pair and applies only the kernel's center tap (exact for its <=dilation
+    maps), so it calibrates and quantizes exactly like the `nn.Conv` fc6 it
+    replaced.  Imported lazily: serve -> models is acyclic but keeping it
+    out of module scope avoids import-order surprises for quantize-only
+    users.
+    """
+    from jpeg_detection_resnet_ssd_tpu.models.ssd import _FC6CenterTap
+
+    return (nn.Conv, _FC6CenterTap)
 
 
 def _norm2(v):
@@ -66,9 +83,11 @@ def calibrate_activation_scales(
     """
     peaks: dict[str, float] = {}
 
+    conv_like = _conv_like_types()
+
     def interceptor(next_fn, args, kwargs, context):
         mod = context.module
-        if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+        if isinstance(mod, conv_like) and context.method_name == "__call__":
             path = _conv_path(mod)
             m = float(jnp.max(jnp.abs(args[0])))
             peaks[path] = max(peaks.get(path, 0.0), m)
@@ -105,24 +124,36 @@ def quantize_conv_weights(
     return out
 
 
-def quantized_call(mod: nn.Conv, x, w_q, s_w, s_x):
+def quantized_call(mod, x, w_q, s_w, s_x):
     """int8 conv + int32 accumulation + fused rescale, matching the float
-    conv's geometry (strides/padding/dilation/groups)."""
+    conv's geometry (strides/padding/dilation/groups).
+
+    For `_FC6CenterTap` the int8 conv uses the same center-tap slice the
+    float path uses — identical output to running the full quantized kernel
+    dilated (the off-center taps only ever multiply zero padding)."""
     x_q = jnp.clip(
         jnp.round(x.astype(jnp.float32) / s_x), -127, 127
     ).astype(jnp.int8)
+    if isinstance(mod, nn.Conv):
+        strides = _norm2(mod.strides)
+        padding = mod.padding
+        rhs_dilation = _norm2(mod.kernel_dilation)
+        groups = mod.feature_group_count
+    else:  # _FC6CenterTap: stride-1 SAME, kernel reduced to its center tap
+        w_q = w_q[1:2, 1:2]
+        strides, padding, rhs_dilation, groups = (1, 1), "SAME", (1, 1), 1
     acc = jax.lax.conv_general_dilated(
         x_q,
         w_q,
-        window_strides=_norm2(mod.strides),
-        padding=mod.padding,
-        rhs_dilation=_norm2(mod.kernel_dilation),
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=rhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=mod.feature_group_count,
+        feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * (s_x * s_w)
-    if mod.use_bias:
+    if getattr(mod, "use_bias", True):  # _FC6CenterTap always has bias
         out = out + mod.variables["params"]["bias"].astype(jnp.float32)
     return out.astype(mod.dtype or x.dtype)
 
@@ -137,10 +168,12 @@ def make_quantized_apply(
     swapped in at trace time. Jit/export-compatible (the interception
     happens during tracing; the compiled program is pure int8/float XLA)."""
 
+    conv_like = _conv_like_types()
+
     def interceptor(next_fn, args, kwargs, context):
         mod = context.module
         if (
-            isinstance(mod, nn.Conv)
+            isinstance(mod, conv_like)
             and context.method_name == "__call__"
             and _conv_path(mod) in qweights
         ):

@@ -238,10 +238,45 @@ class TestQuantize:
             module, variables, [inputs[0] if len(inputs) == 1 else inputs]
         )
         assert len(info["quantized"]) >= 50  # the ResNet trunk
-        kept = "\n".join(info["kept_float"])
-        assert "head/" in kept  # box heads stay float
+        # box heads stay float: _SSDHead executes its conf/loc pairs as raw
+        # fused lax convs that the quantizer never intercepts, so they can
+        # appear in neither list
+        assert not any("head/" in p for p in info["quantized"])
+        assert not any("head/" in p for p in info["kept_float"])
+        # fc6 (the _FC6CenterTap rewrite) must still quantize like a conv
+        assert any(p.endswith("fc6") for p in info["quantized"])
+        # ssd_custom's stem opens with BN (no raw-DCT conv), so no skip
+        # pattern fires and kept_float is legitimately empty here; the
+        # conv1_1_dct/deconv_cb skip patterns are covered by
+        # test_default_skip_patterns_on_paths.
+        assert info["kept_float"] == []
         out = np.asarray(jax.jit(fn)(inputs))
         assert np.isfinite(out).all()
+
+    def test_default_skip_patterns_on_paths(self):
+        """DEFAULT_SKIP must keep raw-DCT stem convs float by path alone."""
+        from jpeg_detection_resnet_ssd_tpu.serve.quantize import (
+            DEFAULT_SKIP,
+            quantize_conv_weights,
+        )
+
+        paths = [
+            "conv1_1_dct",        # VGG-DCT 8x8 stem
+            "conv1_1_dct_256",    # dual-plane VGG-DCT stem
+            "deconv_cb", "deconv_cr",  # deconv stem transposed convs
+            "fc6", "fc7", "conv4_1",   # trunk convs: quantize
+        ]
+        variables = {
+            "params": {
+                p: {
+                    "kernel": np.ones((3, 3, 4, 8), np.float32),
+                    "bias": np.zeros((8,), np.float32),
+                }
+                for p in paths
+            }
+        }
+        q = quantize_conv_weights(variables, paths, skip=DEFAULT_SKIP)
+        assert sorted(q) == ["conv4_1", "fc6", "fc7"]
 
     def test_quantized_artifact_smaller_and_loadable(self, tmp_path):
         from jpeg_detection_resnet_ssd_tpu.serve import (
