@@ -9,12 +9,80 @@ bit-compatible, the helpers here pin down the exact Keras defaults:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 HE_NORMAL = nn.initializers.he_normal()
+
+# When set (via `pallas_wgrad` below), `conv()` routes every 3x3 stride-1
+# SAME dilation-1 conv through `_Conv3x3PallasWgrad`: forward and input
+# gradient stay on XLA's convs, only the filter gradient is re-tiled by the
+# Pallas kernel in `ops/pallas_conv_grad.py` (XLA's filter-vjp of the
+# small-channel stage-1 middles measured ~29% MFU — BENCHMARK.md "Per-conv
+# backward micro-profile").  Parameter names/shapes are identical to
+# `nn.Conv` ("kernel" HWIO, "bias"), so checkpoints are interchangeable.
+_PALLAS_WGRAD_ENABLED = False
+
+
+def set_pallas_wgrad(enabled: bool) -> None:
+    """Globally toggle the Pallas filter-grad path for eligible convs.
+
+    Takes effect at trace time (the switch is read when a model is
+    initialized or applied), so set it before `jit`/`init`."""
+    global _PALLAS_WGRAD_ENABLED
+    _PALLAS_WGRAD_ENABLED = bool(enabled)
+
+
+def pallas_wgrad_enabled() -> bool:
+    return _PALLAS_WGRAD_ENABLED
+
+
+@contextlib.contextmanager
+def pallas_wgrad(enabled: bool = True):
+    prev = _PALLAS_WGRAD_ENABLED
+    set_pallas_wgrad(enabled)
+    try:
+        yield
+    finally:
+        set_pallas_wgrad(prev)
+
+
+class _Conv3x3PallasWgrad(nn.Module):
+    """Drop-in for `nn.Conv(features, (3,3), (1,1), 'SAME')` whose backward
+    uses the Pallas filter-grad kernel (interpret mode off-TPU)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen import dtypes as flax_dtypes
+
+        from jpeg_detection_resnet_ssd_tpu.ops.pallas_conv_grad import (
+            conv3x3_same_pallas_wgrad,
+        )
+
+        kernel = self.param(
+            "kernel", HE_NORMAL, (3, 3, x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = flax_dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        interpret = jax.default_backend() == "cpu"
+        y = conv3x3_same_pallas_wgrad(x, kernel, interpret)
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class L2Normalization(nn.Module):
@@ -59,6 +127,16 @@ def conv(
         strides = (strides, strides)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    if (
+        _PALLAS_WGRAD_ENABLED
+        and kernel == (3, 3)
+        and strides == (1, 1)
+        and padding == "SAME"
+        and dilation == (1, 1)
+    ):
+        return _Conv3x3PallasWgrad(
+            features=features, use_bias=use_bias, dtype=dtype, name=name
+        )
     return nn.Conv(
         features=features,
         kernel_size=kernel,
