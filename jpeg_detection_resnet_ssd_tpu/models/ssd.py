@@ -56,6 +56,7 @@ from jpeg_detection_resnet_ssd_tpu.models.layers import (
     batch_norm,
     conv,
     max_pool,
+    pallas_wgrad_enabled,
     zero_pad2d,
 )
 from jpeg_detection_resnet_ssd_tpu.models.resnet import DCTStem, ResNetBlocks
@@ -139,10 +140,22 @@ class _SSDHead(nn.Module):
             kernel = jnp.concatenate([kc, kl], axis=-1)
             bias = jnp.concatenate([bc, bl], axis=-1)
             src, kernel, bias = promote_dtype(src, kernel, bias, dtype=self.dtype)
-            out = jax.lax.conv_general_dilated(
-                src, kernel, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + bias
+            if pallas_wgrad_enabled():
+                # Pallas filter-grad path (layers.set_pallas_wgrad); the dW
+                # cotangent flows back through the concat to both param
+                # groups unchanged.
+                from jpeg_detection_resnet_ssd_tpu.ops.pallas_conv_grad import (
+                    conv3x3_same_pallas_wgrad,
+                )
+
+                out = conv3x3_same_pallas_wgrad(
+                    src, kernel, jax.default_backend() == "cpu"
+                ) + bias
+            else:
+                out = jax.lax.conv_general_dilated(
+                    src, kernel, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + bias
             c, l = out[..., :n_conf], out[..., n_conf:]
             confs.append(c.reshape(c.shape[0], -1, n_total))
             locs.append(l.reshape(l.shape[0], -1, 4))

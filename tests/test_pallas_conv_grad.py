@@ -126,6 +126,50 @@ def test_layers_conv_pallas_wgrad_wiring():
     assert not layers.pallas_wgrad_enabled()
 
 
+def test_ssd_head_pallas_wgrad_wiring():
+    """The fused conf/loc head conv must produce an identical forward and
+    matching grads under `layers.pallas_wgrad()` (same param tree: the
+    Pallas path only swaps the filter-grad computation)."""
+    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.models import layers
+    from jpeg_detection_resnet_ssd_tpu.models.ssd import _SSDHead
+
+    rng = np.random.default_rng(5)
+    spec = AnchorSpec(img_height=64, img_width=64)
+    sizes = [(8, 8), (4, 4), (2, 2), (2, 2), (1, 1), (1, 1)]
+    sources = [
+        jnp.asarray(rng.normal(0, 1, (2, h, w, 8)), jnp.float32)
+        for h, w in sizes
+    ]
+    head = _SSDHead(n_classes=3, spec=spec)
+    key = jax.random.PRNGKey(0)
+
+    params_off = head.init(key, sources)
+    out_off = head.apply(params_off, sources)
+
+    def loss(p):
+        return jnp.sum(head.apply(p, sources) ** 2)
+
+    g_off = jax.grad(loss)(params_off)
+    with layers.pallas_wgrad():
+        params_on = head.init(key, sources)
+        assert jax.tree_util.tree_structure(
+            params_on
+        ) == jax.tree_util.tree_structure(params_off)
+        out_on = head.apply(params_on, sources)
+        g_on = jax.grad(loss)(params_on)
+
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), rtol=1e-6, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_grad_through_loss_scalar():
     """End-to-end: jax.grad of a scalar loss through the custom conv equals
     the XLA conv's grad (interpret mode)."""
