@@ -30,6 +30,11 @@ def _add_train_common(p):
                         "program (lax.scan over N pre-staged batches): "
                         "identical math, per-step dispatch latency paid "
                         "once per group — decisive on high-latency links")
+    p.add_argument("--pallas-wgrad", action="store_true", default=None,
+                   help="route eligible 3x3 stride-1 convs' filter "
+                        "gradient through the Pallas kernel "
+                        "(ops/pallas_conv_grad.py); forward numerics "
+                        "unchanged, dW reduction-order drift only")
 
 
 def _load_config(args, defaults):
@@ -46,6 +51,7 @@ def _load_config(args, defaults):
         ("pretrained_weights", "pretrained_weights"),
         ("n_model_shards", "n_model_shards"),
         ("num_workers", "num_workers"),
+        ("pallas_wgrad", "pallas_wgrad"),
     ]:
         v = getattr(args, attr, None)
         if v is not None:

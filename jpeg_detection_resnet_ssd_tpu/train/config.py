@@ -60,6 +60,13 @@ class ExperimentConfig:
     # Off by default: it changes update numerics (momentum rounds to 8-bit
     # mantissa each step) — opt in for throughput-critical large-scale runs.
     momentum_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Route eligible 3x3 stride-1 convs through the Pallas filter-grad
+    # kernel (ops/pallas_conv_grad.py): forward and input-grad stay on
+    # XLA's convs, only the filter gradient is re-tiled (XLA's filter-vjp
+    # of the small-channel stage-1 middles measured ~29% MFU —
+    # BENCHMARK.md "Per-conv backward micro-profile").  Identical param
+    # tree and forward numerics; dW differs by reduction order only.
+    pallas_wgrad: bool = False
     remat: bool = False  # rematerialize ResNet bottleneck branches (memory)
 
     # observability

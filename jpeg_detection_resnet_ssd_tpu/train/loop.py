@@ -77,6 +77,12 @@ def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None,
     import jax.numpy as jnp
 
     mesh = mesh or make_mesh(n_model=config.n_model_shards)
+    if config.pallas_wgrad:
+        # Trace-time switch: set before any init/apply of the model so every
+        # later trace (init_state, train_step, eval) sees it.
+        from jpeg_detection_resnet_ssd_tpu.models import layers
+
+        layers.set_pallas_wgrad(True)
     model_kwargs = dict(config.model_kwargs)
     if config.compute_dtype != "float32":
         model_kwargs.setdefault("dtype", jnp.dtype(config.compute_dtype).type)

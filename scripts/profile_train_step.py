@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--augment", action="store_true",
                     help="include the device augmentation chain variants")
+    ap.add_argument("--pallas-wgrad", action="store_true",
+                    help="route eligible 3x3 convs through the Pallas "
+                         "filter-grad kernel (A/B against a run without "
+                         "this flag, same process not required: the flag "
+                         "only changes the backward)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +64,10 @@ def main():
 
     B = args.batch
     dtype = jnp.dtype(args.dtype).type
+    if args.pallas_wgrad:
+        from jpeg_detection_resnet_ssd_tpu.models import layers
+
+        layers.set_pallas_wgrad(True)
     module, _ = build_model("ssd300_ssd_custom", n_classes=20, dtype=dtype)
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.normal(0, 100, (B, 38, 38, 64)), jnp.float32)

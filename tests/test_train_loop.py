@@ -216,6 +216,28 @@ def test_bf16_compute_dtype_plumbs(tmp_path):
     assert module.dtype == jnp.bfloat16
 
 
+def test_pallas_wgrad_config_plumbs(tmp_path):
+    """config.pallas_wgrad=True flips the trace-time conv routing switch
+    (and survives the JSON snapshot round-trip)."""
+    from jpeg_detection_resnet_ssd_tpu.models import layers
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+    config = make_config(tmp_path)
+    config.model = "vgga_dct"
+    config.model_kwargs = {"num_classes": 3}
+    config.input_format = "dct"
+    config.pallas_wgrad = True
+    assert ExperimentConfig.from_json(config.to_json()).pallas_wgrad is True
+
+    assert not layers.pallas_wgrad_enabled()
+    try:
+        build_trainer(config)
+        assert layers.pallas_wgrad_enabled()
+    finally:
+        layers.set_pallas_wgrad(False)
+
+
 def test_validation_fn_and_lr_logging(cls_root, tmp_path):
     from jpeg_detection_resnet_ssd_tpu.train.loop import (
         build_trainer,
