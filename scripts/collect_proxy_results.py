@@ -32,19 +32,32 @@ import numpy as np
 
 def load_runs(paths):
     runs = {}
+
+    def add(r):
+        key = (r["variant"], r.get("seed", -1), r["steps"],
+               "heldout_mAP" in r)
+        runs[key] = r  # last occurrence wins (resume retries)
+
     for p in paths:
         with open(p) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith('{"variant"'):
-                    continue
-                try:
-                    r = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                key = (r["variant"], r.get("seed", -1), r["steps"],
-                       "heldout_mAP" in r)
-                runs[key] = r  # last occurrence wins (resume retries)
+            text = f.read()
+        # A previously-written round3_runs.json is a pretty-printed JSON
+        # array — accept it as input so collections can be merged
+        # incrementally across queue logs that have since been deleted.
+        stripped = text.lstrip()
+        if stripped.startswith("["):
+            for r in json.loads(stripped):
+                add(r)
+            continue
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith('{"variant"'):
+                continue
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            add(r)
     return list(runs.values())
 
 
