@@ -123,6 +123,33 @@ def conv3x3_filter_grad(x: jax.Array, dy: jax.Array,
     return dw9.reshape(3, 3, c, k)
 
 
+@jax.jit
+def conv3x3_filter_grad_xla_dots(x: jax.Array, dy: jax.Array) -> jax.Array:
+    """The same nine-tap matmul restatement in plain XLA (no Pallas).
+
+    Each tap is one [BHW, C]^T x [BHW, K] `dot_general` on a shifted slice
+    of the padded input — the MXU-shaped contraction XLA's conv-based
+    filter-vjp fails to tile.  Costs 9 extra HBM reads of x versus the
+    Pallas kernel's VMEM-resident accumulator, but has zero Mosaic compile
+    risk; kept as the fallback arm and for the A/B in
+    `scripts/profile_pallas_wgrad.py`.
+    """
+    b, h, w, c = x.shape
+    k = dy.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dyf = dy.reshape(b * h * w, k)
+    taps = []
+    for kh in range(3):
+        for kw in range(3):
+            xs = xp[:, kh:kh + h, kw:kw + w, :].reshape(b * h * w, c)
+            taps.append(jax.lax.dot_general(
+                xs, dyf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+    return jnp.stack(taps).reshape(3, 3, c, k)
+
+
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 

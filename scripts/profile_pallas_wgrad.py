@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the compiled exactness check (already "
+                         "verified in an earlier run)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filter on shape names "
+                         "(e.g. '38x38_128'): time only matching shapes — "
+                         "useful on a slow relay where each compile costs "
+                         "minutes")
+    ap.add_argument("--wgrad-only", action="store_true",
+                    help="skip the full fwd+bwd arms, time only the "
+                         "filter-grad A/B")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +70,9 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     # ---- 1. compiled exactness check ------------------------------------
+    if args.skip_check:
+        print(json.dumps({"check": "skipped (--skip-check)"}), flush=True)
+        return _timings(args)
     x = jnp.asarray(rng.normal(0, 1, (4, 38, 38, 128)), bf16)
     w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 128, 128)), bf16)
     ct = jnp.asarray(rng.normal(0, 1, (4, 38, 38, 128)), bf16)
@@ -74,6 +88,27 @@ def main():
         print(json.dumps({"fatal": "kernel does not match XLA on device"}),
               flush=True)
         return
+    return _timings(args)
+
+
+def _timings(args):
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.ops.pallas_conv_grad import (
+        conv3x3_filter_grad,
+        conv3x3_filter_grad_xla_dots,
+        conv3x3_same_pallas_wgrad,
+    )
+
+    B = args.batch
+    bf16 = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     # ---- 2/3. per-shape timings -----------------------------------------
     # Every 3x3 stride-1 SAME conv shape in the flagship (hw, cin, cout)
@@ -87,7 +122,12 @@ def main():
         (38, 384, 100),   # 38x38 fused conf+loc head
     ]
 
+    only = [s for s in (args.only or "").split(",") if s]
     for hw, cin, cout in shapes:
+        if only and not any(
+            f in f"3x3_{hw}x{hw}_{cin}_{cout}" for f in only
+        ):
+            continue
         x = jnp.asarray(rng.normal(0, 1, (B, hw, hw, cin)), bf16)
         w = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), bf16)
         ct_shape = jax.eval_shape(xla_conv, x, w)
@@ -108,7 +148,14 @@ def main():
             d = jnp.sum(gw) * 1e-12
             return (cc + d.astype(bf16), acc + d)
 
+        def dots_wgrad_step(c, x=x):
+            cc, acc = c
+            gw = conv3x3_filter_grad_xla_dots(x, cc)
+            d = jnp.sum(gw) * 1e-12
+            return (cc + d.astype(bf16), acc + d)
+
         for tag, step in (("xla", xla_wgrad_step),
+                          ("dots", dots_wgrad_step),
                           ("pallas", pallas_wgrad_step)):
             s = chained_seconds(step, (ct, jnp.float32(0)), args.chain,
                                 trials=args.trials)
@@ -117,6 +164,9 @@ def main():
                 "us": round(s * 1e6, 1),
                 "mfu": round(flops / s / (PEAK_TFLOPS * 1e12), 3),
             }), flush=True)
+
+        if args.wgrad_only:
+            continue
 
         # full fwd+bwd via custom_vjp vs plain XLA
         def full_step(conv, c, x=x, w=w):

@@ -12,6 +12,7 @@ import pytest
 
 from jpeg_detection_resnet_ssd_tpu.ops.pallas_conv_grad import (
     conv3x3_filter_grad,
+    conv3x3_filter_grad_xla_dots,
     conv3x3_same_pallas_wgrad,
     reference_filter_grad,
 )
@@ -30,6 +31,16 @@ def test_filter_grad_matches_oracle(b, h, w, c, k):
     x = rng.normal(0, 1, (b, h, w, c)).astype(np.float32)
     dy = rng.normal(0, 1, (b, h, w, k)).astype(np.float32)
     got = np.asarray(conv3x3_filter_grad(x, dy, interpret=True))
+    want = reference_filter_grad(x, dy)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("b,h,w,c,k", [(2, 6, 6, 8, 8), (4, 5, 7, 16, 8)])
+def test_xla_dots_filter_grad_matches_oracle(b, h, w, c, k):
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (b, h, w, c)).astype(np.float32)
+    dy = rng.normal(0, 1, (b, h, w, k)).astype(np.float32)
+    got = np.asarray(conv3x3_filter_grad_xla_dots(x, dy))
     want = reference_filter_grad(x, dy)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
