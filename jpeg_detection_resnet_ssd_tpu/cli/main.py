@@ -978,6 +978,21 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    # Persistent XLA compilation cache: first-compile costs on TPU are
+    # minutes-scale for some programs (the Pallas filter-grad kernel's
+    # Mosaic compile measured ~9 min); caching makes them one-time per
+    # machine instead of per run/restart.  JPEG_DCT_COMPILATION_CACHE
+    # overrides the location; set it to '0' to disable.
+    cache_dir = os.environ.get(
+        "JPEG_DCT_COMPILATION_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jpeg_dct_xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
