@@ -48,26 +48,26 @@ def _pick_batch_chunk(b: int, hp: int, wp: int, c: int, k: int,
                       h: int, w: int) -> int:
     """Largest divisor of `b` whose per-step VMEM footprint fits the budget.
 
-    The dominant cost is not the two input blocks but Mosaic's stack
-    temporaries: each of the nine shifted slices is materialized as a
-    [bb*h*w, c] bf16 copy before its matmul (the slice is non-contiguous
-    and the reshape re-tiles), plus one [bb*h*w, k] copy of dy.  Budget
-    against _VMEM_LIMIT with headroom for double-buffered input blocks
-    and the f32 accumulator.
+    Budgets the three double-buffered kw-view input blocks + the dy block,
+    Mosaic stack temporaries for the reshaped matmul operands (worst case:
+    each of the nine [bb*h*w, c] slices plus the [bb*h*w, k] dy copy is
+    materialized, even though the aligned layout usually lets the reshape
+    be a view), and the f32 accumulator, against _VMEM_LIMIT.
     """
     budget = _VMEM_LIMIT - 9 * c * k * 4 - 2 * 1024 * 1024
     best = 1
     for bb in range(1, b + 1):
         if b % bb:
             continue
-        blocks = 2 * (bb * hp * wp * c * 2 + bb * h * w * k * 2)
+        blocks = 2 * (3 * bb * hp * wp * c * 2 + bb * h * w * k * 2)
         stack = 9 * bb * h * w * c * 2 + bb * h * w * k * 2
         if blocks + stack <= budget:
             best = bb
     return best
 
 
-def _filter_grad_kernel(xp_ref, dy_ref, dw_ref, *, h: int, w: int):
+def _filter_grad_kernel(x0_ref, x1_ref, x2_ref, dy_ref, dw_ref,
+                        *, h: int, w: int):
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
@@ -76,11 +76,19 @@ def _filter_grad_kernel(xp_ref, dy_ref, dw_ref, *, h: int, w: int):
 
     # Mosaic's tpu.matmul contracts exactly one dim — collapse (b, y, x)
     # into the leading dim and contract 2-D: [BHW, C]^T x [BHW, K].
+    # TILE ALIGNMENT (the reason for the host-side prep in
+    # `conv3x3_filter_grad`): the minor two dims of every operand here are
+    # (w, channels) with w a multiple of the 8-sublane tile, the kw shifts
+    # were materialized OUTSIDE the kernel, and the kh shift below slices a
+    # non-minor dim — so each reshape collapses whole tiles and lowers to
+    # plain address arithmetic instead of per-row shuffles (the original
+    # in-kernel [kw:kw+38] slice + reshape forced Mosaic into misaligned
+    # relayouts: ~9 min compiles and shuffle-bloated code).
     bb = dy_ref.shape[0]
     dy = dy_ref[...].reshape(bb * h * w, -1)
-    for kh in range(3):
-        for kw in range(3):
-            xs = xp_ref[:, kh:kh + h, kw:kw + w, :].reshape(bb * h * w, -1)
+    for kw, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for kh in range(3):
+            xs = x_ref[:, kh:kh + h, :, :].reshape(bb * h * w, -1)
             dw_ref[kh * 3 + kw] += jax.lax.dot_general(
                 xs,
                 dy,
@@ -95,21 +103,35 @@ def conv3x3_filter_grad(x: jax.Array, dy: jax.Array,
     """dW (3,3,C,K) f32 for a 3x3 stride-1 SAME NHWC conv.
 
     `x` (B,H,W,C) is the conv input, `dy` (B,H,W,K) the output cotangent.
+
+    Host-side prep for tile alignment (see `_filter_grad_kernel`): H and W
+    are zero-padded up to the 8-sublane tile (padded output rows carry
+    dy = 0, padded input columns meet dy positions whose true taps are in
+    the SAME-pad zeros — both contribute exactly zero to dW), and the three
+    kw-shifted views are materialized by XLA as fused aligned copies.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, w, c = x.shape
+    b, h0, w0, c = x.shape
     k = dy.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    hp, wp = h + 2, w + 2
-    bb = _pick_batch_chunk(b, hp, wp, c, k, h, w)
+    h = -(-h0 // 8) * 8
+    w = -(-w0 // 8) * 8
+    xq = jnp.pad(x, ((0, 0), (1, h - h0 + 1), (1, w - w0 + 1), (0, 0)))
+    dyq = jnp.pad(dy, ((0, 0), (0, h - h0), (0, w - w0), (0, 0)))
+    # (b, h+2, w, c) kw-shifted views; the kh shift happens in-kernel on a
+    # non-minor dim.
+    xkw = [xq[:, :, kw:kw + w, :] for kw in range(3)]
+    hp = h + 2
+    bb = _pick_batch_chunk(b, hp, w, c, k, h, w)
 
     dw9 = pl.pallas_call(
         functools.partial(_filter_grad_kernel, h=h, w=w),
         grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((bb, hp, wp, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, w, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, w, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, w, c), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bb, h, w, k), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((9, c, k), lambda i: (0, 0, 0)),
@@ -119,7 +141,7 @@ def conv3x3_filter_grad(x: jax.Array, dy: jax.Array,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(xp, dy)
+    )(*xkw, dyq)
     return dw9.reshape(3, 3, c, k)
 
 
