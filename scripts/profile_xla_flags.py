@@ -44,6 +44,19 @@ CONFIGS = {
 def child(chain: int, trials: int):
     import numpy as np
     import jax
+
+    # Persistent compilation cache (same contract as the CLI): the scanned
+    # train-step programs compile in minutes through the relay, and the cache
+    # key includes the XLA flags, so each config pays its compile once per
+    # machine and retries are cheap.
+    cache_dir = os.environ.get(
+        "JPEG_DCT_COMPILATION_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jpeg_dct_xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import optax
 
@@ -142,6 +155,10 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--timeout", type=int, default=3000,
+                    help="per-config child timeout in seconds (first "
+                         "compiles of the scanned step run minutes-scale "
+                         "through the relay)")
     args = ap.parse_args()
 
     if args.child:
@@ -157,7 +174,7 @@ def main():
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              "--chain", str(args.chain), "--trials", str(args.trials)],
-            env=env, capture_output=True, text=True, timeout=900,
+            env=env, capture_output=True, text=True, timeout=args.timeout,
         )
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if out:
