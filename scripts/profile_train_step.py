@@ -49,6 +49,12 @@ def main():
                          "filter-grad kernel (A/B against a run without "
                          "this flag, same process not required: the flag "
                          "only changes the backward)")
+    ap.add_argument("--momentum-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="SGD momentum accumulator dtype "
+                         "(config.momentum_dtype): bfloat16 halves the "
+                         "trace's HBM read+write traffic in the optimizer "
+                         "update — A/B the train_step / sgd_update_only rows")
     args = ap.parse_args()
 
     import jax
@@ -91,7 +97,9 @@ def main():
     targets = encoder.encode_fn(gt, gt_mask)
 
     loss_obj = SSDLoss()
-    tx = optax.sgd(1e-3, momentum=0.9)
+    acc_dtype = (None if args.momentum_dtype == "float32"
+                 else args.momentum_dtype)
+    tx = optax.sgd(1e-3, momentum=0.9, accumulator_dtype=acc_dtype)
     opt_state = tx.init(params)
 
     results = {}

@@ -1,25 +1,30 @@
-"""A/B the flagship train step under candidate XLA TPU compiler flags.
+"""A/B the flagship train step under candidate XLA TPU compiler options.
 
 The round-3 component profile (BENCHMARK.md) attributes the remaining
 train-step MFU gap (~47% vs forward's ~72%) to XLA's conv-backward kernels.
 Before reaching for Pallas convs, this measures the documented compiler
 levers that change conv scheduling/fusion without touching model code:
 
-  * --xla_tpu_scoped_vmem_limit_kib=<N> — raises the VMEM budget the
+  * xla_tpu_scoped_vmem_limit_kib=<N> — raises the VMEM budget the
     fusion pass may assume, enabling larger fused convs;
-  * --xla_tpu_enable_latency_hiding_scheduler=true — overlaps HBM copies
+  * xla_tpu_enable_latency_hiding_scheduler=true — overlaps HBM copies
     with compute inside the step;
   * the two combined.
 
-Each configuration runs in a FRESH subprocess (XLA parses flags once per
-process) and measures the full production train step — fwd + SSD loss with
-hard-negative mining + backward + SGD update + in-step target encode — under
-the honest chained slope protocol (utils/timing.py), with the 4096^3 bf16
-matmul canary interleaved in the same process so differently-loaded relay
-chips can't masquerade as flag effects.
+Delivery mechanism (measured, round 3): the XLA_FLAGS env var is a DEAD
+ROUTE in this environment — the relay client's own XLA build parses the
+env var locally and aborts on any TPU-backend flag (`parse_flags_from_env:
+Unknown flag in XLA_FLAGS: --xla_tpu_scoped_vmem_limit_kib`).  Per-compile
+PJRT `compiler_options` (`jax.jit(f).lower().compile(compiler_options=...)`)
+bypass the client parser and are forwarded to the backend compiler, so that
+is what this script uses.  A side benefit: options are per-executable, so
+every config runs INTERLEAVED in ONE process on ONE relay chip with one
+matmul canary — the strongest same-process comparison available (chips from
+the pool vary in load; cross-process A/Bs need canary normalization).
 
-Usage: python scripts/profile_xla_flags.py            # run all configs
-       python scripts/profile_xla_flags.py --child    # (internal)
+Usage: python scripts/profile_xla_flags.py [--chain 10] [--trials 3]
+Prints one JSON row per config; configs whose options the backend rejects
+report the error instead of a time.
 """
 
 from __future__ import annotations
@@ -27,27 +32,36 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 CONFIGS = {
-    "baseline": "",
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "both": ("--xla_tpu_scoped_vmem_limit_kib=65536 "
-             "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    "baseline": {},
+    "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "latency_hiding": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "both": {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+    },
 }
 
 
-def child(chain: int, trials: int):
-    import numpy as np
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args()
+
     import jax
 
     # Persistent compilation cache (same contract as the CLI): the scanned
-    # train-step programs compile in minutes through the relay, and the cache
-    # key includes the XLA flags, so each config pays its compile once per
+    # train-step programs compile in minutes through the relay; the cache key
+    # includes the compiler options, so each config pays its compile once per
     # machine and retries are cheap.
     cache_dir = os.environ.get(
         "JPEG_DCT_COMPILATION_CACHE",
@@ -57,6 +71,7 @@ def child(chain: int, trials: int):
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
     import optax
 
@@ -85,8 +100,9 @@ def child(chain: int, trials: int):
             return jnp.sum(out).astype(jnp.float32)
         return chained
 
-    t = slope_seconds(build_canary, 50, trials=trials)
+    t = slope_seconds(build_canary, 50, trials=args.trials)
     canary_tflops = 2 * k**3 / t / 1e12
+    print(json.dumps({"canary_tflops": round(canary_tflops, 1)}), flush=True)
 
     module, _ = build_model("ssd300_ssd_custom", n_classes=20,
                             dtype=jnp.bfloat16)
@@ -111,8 +127,7 @@ def child(chain: int, trials: int):
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
 
-    def build(n):
-        @jax.jit
+    def chained_program(n):
         def chained():
             def body(carry, i):
                 p, o = carry
@@ -138,50 +153,33 @@ def child(chain: int, trials: int):
 
         return chained
 
-    t = slope_seconds(build, chain, trials=trials)
-    print(json.dumps({
-        "config": os.environ.get("PROFILE_CONFIG", "?"),
-        "xla_flags": os.environ.get("XLA_FLAGS", ""),
-        "canary_tflops": round(canary_tflops, 1),
-        "train_step_ms": round(t * 1e3, 2),
-        "images_per_sec": round(B / t, 1),
-    }), flush=True)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--child", action="store_true")
-    ap.add_argument("--chain", type=int, default=10)
-    ap.add_argument("--trials", type=int, default=3)
-    ap.add_argument("--configs", default=None,
-                    help="comma-separated subset of config names")
-    ap.add_argument("--timeout", type=int, default=3000,
-                    help="per-config child timeout in seconds (first "
-                         "compiles of the scanned step run minutes-scale "
-                         "through the relay)")
-    args = ap.parse_args()
-
-    if args.child:
-        child(args.chain, args.trials)
-        return
-
     names = (args.configs.split(",") if args.configs else list(CONFIGS))
     for name in names:
-        env = dict(os.environ)
-        env["PROFILE_CONFIG"] = name
-        base = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = (base + " " + CONFIGS[name]).strip()
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--chain", str(args.chain), "--trials", str(args.trials)],
-            env=env, capture_output=True, text=True, timeout=args.timeout,
-        )
-        out = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if out:
-            print(out[-1], flush=True)
-        else:
-            print(json.dumps({"config": name, "error": r.stderr[-300:]}),
-                  flush=True)
+        opts = CONFIGS[name]
+
+        def build(n, _opts=opts):
+            compiled = (
+                jax.jit(chained_program(n))
+                .lower()
+                .compile(compiler_options=_opts or None)
+            )
+            return compiled
+
+        try:
+            t = slope_seconds(build, args.chain, trials=args.trials)
+            print(json.dumps({
+                "config": name,
+                "compiler_options": opts,
+                "canary_tflops": round(canary_tflops, 1),
+                "train_step_ms": round(t * 1e3, 2),
+                "images_per_sec": round(B / t, 1),
+            }), flush=True)
+        except Exception as e:  # backend may reject unknown options
+            print(json.dumps({
+                "config": name,
+                "compiler_options": opts,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
 
 
 if __name__ == "__main__":
