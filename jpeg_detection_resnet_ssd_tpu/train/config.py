@@ -68,6 +68,14 @@ class ExperimentConfig:
     # tree and forward numerics; dW differs by reduction order only.
     pallas_wgrad: bool = False
     remat: bool = False  # rematerialize ResNet bottleneck branches (memory)
+    # Train with BatchNorm frozen (eval-mode normalization, running stats
+    # untouched) — the standard recipe when fine-tuning a detector from a
+    # pretrained backbone whose BN statistics were imported (compat H5
+    # import fills them).  Also a measured throughput lever: batch-stat BN
+    # costs ~12% of the flagship train step (BENCHMARK.md frozen-BN
+    # ablation, 1.5 ms/step).  The reference always trains BN
+    # (`training_dct_pascal_j2d_resnet.py`), so this is off by default.
+    freeze_bn: bool = False
 
     # observability
     tensorboard: bool = False

@@ -104,6 +104,7 @@ def build_trainer(config: ExperimentConfig, mesh=None, target_encoder=None,
         tp_rule=tensor_parallel_rule if config.n_model_shards > 1 else None,
         target_encoder=target_encoder,
         augment_fn=augment_fn,
+        freeze_bn=config.freeze_bn,
     )
     return trainer, module, example_inputs
 

@@ -111,6 +111,17 @@ class Trainer:
     # target encoder — e.g. `ops.dct_detect_augment` DCT-domain crop/flip with
     # GT rewrite, making augment + encode + train one compiled program.
     augment_fn: Callable | None = None
+    # Freeze BatchNorm during training: normalize with the running statistics
+    # (eval-mode BN) and leave batch_stats untouched, the standard detection
+    # practice when fine-tuning from a pretrained backbone (the reference
+    # imports classification H5 stats, `training_dct_pascal_j2d_resnet.py:
+    # 137-149`, though it keeps BN in batch-stat mode).  Besides the
+    # semantics, batch-stat BN costs ~12% of the flagship train step
+    # (BENCHMARK.md backward attribution: frozen-BN ablation saves 1.5 ms);
+    # this makes that measured saving a supported recipe.  Note: the model
+    # is applied with train=False, so VGG-head dropout is also disabled —
+    # intended for the (dropout-free) detection and ResNet families.
+    freeze_bn: bool = False
 
     def init_state(self, rng, example_inputs) -> TrainState:
         variables = self.model.init(rng, example_inputs, train=False)
@@ -167,15 +178,22 @@ class Trainer:
 
         def loss_of(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            outputs, mutated = self.model.apply(
-                variables,
-                batch["inputs"],
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
-            )
+            if self.freeze_bn:
+                outputs = self.model.apply(
+                    variables, batch["inputs"], train=False,
+                )
+                new_stats = state.batch_stats
+            else:
+                outputs, mutated = self.model.apply(
+                    variables,
+                    batch["inputs"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng},
+                )
+                new_stats = mutated["batch_stats"]
             loss, metrics = self.loss_fn(params, outputs, batch)
-            return loss, (metrics, mutated["batch_stats"])
+            return loss, (metrics, new_stats)
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True

@@ -49,6 +49,11 @@ def main():
                          "filter-grad kernel (A/B against a run without "
                          "this flag, same process not required: the flag "
                          "only changes the backward)")
+    ap.add_argument("--freeze-bn", action="store_true",
+                    help="apply the model with BatchNorm frozen "
+                         "(config.freeze_bn): eval-mode normalization, no "
+                         "batch_stats mutation — measures the BN share of "
+                         "the step (expected ~1.5 ms on the flagship)")
     ap.add_argument("--momentum-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="SGD momentum accumulator dtype "
@@ -102,6 +107,19 @@ def main():
     tx = optax.sgd(1e-3, momentum=0.9, accumulator_dtype=acc_dtype)
     opt_state = tx.init(params)
 
+    def apply_train(pp, inputs):
+        """Model forward in the profiled training mode (honors --freeze-bn)."""
+        if args.freeze_bn:
+            return module.apply(
+                {"params": pp, "batch_stats": batch_stats}, inputs,
+                train=False,
+            )
+        out, _ = module.apply(
+            {"params": pp, "batch_stats": batch_stats}, inputs,
+            train=True, mutable=["batch_stats"],
+        )
+        return out
+
     results = {}
 
     def record(name, seconds):
@@ -113,10 +131,7 @@ def main():
     # 1) forward only, train mode (BN mutation like the real step)
     def fwd(c):
         yy, _ = c
-        out, mut = module.apply(
-            {"params": params, "batch_stats": batch_stats}, (yy, cbcr),
-            train=True, mutable=["batch_stats"],
-        )
+        out = apply_train(params, (yy, cbcr))
         ds = jnp.sum(out).astype(jnp.float32) * 1e-12
         return (yy + ds, ds)
 
@@ -128,10 +143,7 @@ def main():
         yy, _ = c
 
         def loss_of(p):
-            out, mut = module.apply(
-                {"params": p, "batch_stats": batch_stats}, (yy, cbcr),
-                train=True, mutable=["batch_stats"],
-            )
+            out = apply_train(p, (yy, cbcr))
             return loss_obj(targets, out.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -148,10 +160,7 @@ def main():
         p, o, yy = c
 
         def loss_of(pp):
-            out, mut = module.apply(
-                {"params": pp, "batch_stats": batch_stats}, (yy, cbcr),
-                train=True, mutable=["batch_stats"],
-            )
+            out = apply_train(pp, (yy, cbcr))
             return loss_obj(targets, out.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_of)(p)
@@ -168,10 +177,7 @@ def main():
         tgt = encoder.encode_fn(gt, gt_mask)
 
         def loss_of(pp):
-            out, _ = module.apply(
-                {"params": pp, "batch_stats": batch_stats}, (yy, cbcr),
-                train=True, mutable=["batch_stats"],
-            )
+            out = apply_train(pp, (yy, cbcr))
             return loss_obj(tgt, out.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_of)(p)
@@ -224,6 +230,23 @@ def main():
 
     record("sgd_update_only", chained_seconds(
         sgd_only, (params, opt_state), args.chain * 4))
+
+    # 6b) same update with the OTHER momentum accumulator dtype, measured
+    # in-process so the pair is a true same-chip A/B (the accumulator is
+    # half the optimizer's HBM read+write traffic; config.momentum_dtype)
+    other = "bfloat16" if args.momentum_dtype == "float32" else "float32"
+    tx_other = optax.sgd(1e-3, momentum=0.9,
+                         accumulator_dtype=None if other == "float32"
+                         else other)
+    opt_state_other = tx_other.init(params)
+
+    def sgd_only_other(c):
+        p, o = c
+        updates, o2 = tx_other.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o2)
+
+    record(f"sgd_update_only_{other}_momentum", chained_seconds(
+        sgd_only_other, (params, opt_state_other), args.chain * 4))
 
     # 7) device augmentation chain alone (optional)
     if args.augment:

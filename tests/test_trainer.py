@@ -192,6 +192,73 @@ def test_momentum_dtype_bf16():
                if hasattr(l, "dtype"))
 
 
+def test_freeze_bn_step(rng):
+    """freeze_bn=True trains with eval-mode BN: running statistics stay
+    bit-identical across steps while params still update and the loss
+    still falls (the standard pretrained-backbone fine-tune recipe; also
+    the measured ~12%-of-step BN saving, BENCHMARK.md frozen-BN ablation)."""
+    mesh = make_mesh()
+    y, cbcr = _toy_batch(rng)
+    labels = rng.integers(0, 4, 8)
+
+    trainer = Trainer(
+        model=TinyClassifier(),
+        loss_fn=classification_loss_fn(),
+        optimizer=optax.sgd(0.05, momentum=0.9),
+        mesh=mesh,
+        donate=False,
+        freeze_bn=True,
+    )
+    with mesh:
+        state = trainer.init_state(jax.random.PRNGKey(0), (y[:1], cbcr[:1]))
+        stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        batch = {"inputs": (y, cbcr), "labels": labels}
+        batch = jax.device_put(batch, trainer.batch_shardings(batch))
+        losses = []
+        for _ in range(6):
+            state, metrics = trainer.train_step(
+                state, batch, jax.random.PRNGKey(2)
+            )
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # BN running stats untouched, bit for bit
+    for before, after in zip(
+        jax.tree_util.tree_leaves(stats0),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        ),
+    ):
+        np.testing.assert_array_equal(before, after)
+    # ...while params did move
+    moved = [
+        not np.array_equal(b, np.asarray(a))
+        for b, a in zip(
+            jax.tree_util.tree_leaves(params0),
+            jax.tree_util.tree_leaves(state.params),
+        )
+    ]
+    assert any(moved)
+
+
+def test_freeze_bn_config_plumbs_through():
+    """ExperimentConfig.freeze_bn reaches the Trainer via build_trainer."""
+    from jpeg_detection_resnet_ssd_tpu.train.config import ExperimentConfig
+    from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer
+
+    config = ExperimentConfig(
+        model="ssd300_ssd_custom", task="detection", freeze_bn=True,
+        model_kwargs={"n_classes": 3},
+    )
+    trainer, _, _ = build_trainer(config)
+    assert trainer.freeze_bn is True
+    assert build_trainer(ExperimentConfig(
+        model="ssd300_ssd_custom", task="detection",
+        model_kwargs={"n_classes": 3},
+    ))[0].freeze_bn is False
+
+
 def test_graft_entry_multichip():
     """The driver's dry run: full flagship train step on an 8-device mesh."""
     import __graft_entry__ as ge
