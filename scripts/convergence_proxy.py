@@ -160,6 +160,14 @@ def main():
     p.add_argument("--seed", type=int, default=0,
                    help="training seed (init/shuffle/augment); the corpus "
                         "seed is fixed so every run sees identical data")
+    p.add_argument("--freeze-bn", action="store_true",
+                   help="train with BatchNorm frozen (config.freeze_bn). "
+                        "From random init this diverges (identity BN on "
+                        "raw DCT coefficients); the intended experiment is "
+                        "two-phase: run N steps normally, then --resume "
+                        "--freeze-bn for the remainder — convergence "
+                        "evidence for the frozen-BN fine-tune recipe at a "
+                        "matched total step count")
     p.add_argument("--resume", action="store_true",
                    help="resume the latest run dir for this variant+seed "
                         "from its newest checkpoint instead of starting a "
@@ -228,6 +236,7 @@ def main():
         project=f"proxy_{args.variant}_s{args.seed}",
         seed=args.seed,
         restart=args.resume,
+        freeze_bn=args.freeze_bn,
     )
 
     family = "vgg" if args.variant == "rgb" else "resnet_custom"
@@ -341,7 +350,8 @@ def main():
 
     mean_ap, aps = results["exact"]
     out = {
-        "variant": args.variant,
+        "variant": (args.variant + "_freezebn" if args.freeze_bn
+                    else args.variant),
         "seed": args.seed,
         "model": model_name,
         "steps": args.steps,
