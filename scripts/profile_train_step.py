@@ -81,8 +81,15 @@ def main():
         layers.set_pallas_wgrad(True)
     module, _ = build_model("ssd300_ssd_custom", n_classes=20, dtype=dtype)
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.normal(0, 100, (B, 38, 38, 64)), jnp.float32)
-    cbcr = jnp.asarray(rng.normal(0, 30, (B, 19, 19, 128)), jnp.float32)
+    # Under --freeze-bn the init-state BN is an identity map (running
+    # mean 0 / var 1), so coefficient-scale inputs overflow bf16 through
+    # the unnormalized trunk; unit-scale inputs keep every activation
+    # finite and the timing is scale-independent.
+    in_scale = 0.01 if args.freeze_bn else 1.0
+    y = jnp.asarray(rng.normal(0, 100 * in_scale, (B, 38, 38, 64)),
+                    jnp.float32)
+    cbcr = jnp.asarray(rng.normal(0, 30 * in_scale, (B, 19, 19, 128)),
+                       jnp.float32)
     variables = module.init(jax.random.PRNGKey(0), (y[:1], cbcr[:1]),
                             train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -104,7 +111,11 @@ def main():
     loss_obj = SSDLoss()
     acc_dtype = (None if args.momentum_dtype == "float32"
                  else args.momentum_dtype)
-    tx = optax.sgd(1e-3, momentum=0.9, accumulator_dtype=acc_dtype)
+    # Under --freeze-bn a random-init model diverges (identity BN), so a
+    # chained sequence of real updates at lr 1e-3 overflows; a tiny lr
+    # keeps the chain finite and the update cost is lr-independent.
+    lr = 1e-9 if args.freeze_bn else 1e-3
+    tx = optax.sgd(lr, momentum=0.9, accumulator_dtype=acc_dtype)
     opt_state = tx.init(params)
 
     def apply_train(pp, inputs):
