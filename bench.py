@@ -12,6 +12,10 @@ FIRST for robustness to truncation and REPRINTED as the final line):
   * dct_ssd300_train_augmented_throughput — training step plus the FULL v3
     device augmentation chain (photometric + expand + min-IoU crop + resize
     + flip in coefficient space) — the `--device-augment` production path;
+  * dct_ssd300_train_finetune_throughput — the opt-in fine-tune fast path:
+    frozen BN (`config.freeze_bn`, the pretrained-backbone recipe) + bf16
+    momentum trace (`config.momentum_dtype`), measured +17.5% over the
+    default step (BENCHMARK.md "Opt-in training throughput options");
   * packed_pipeline_host_throughput — host-side packed-corpus batch assembly
     (memmap gather + int16 cast), no TPU involved;
   * dct_ssd300_inference_throughput — forward + full decode (softmax,
@@ -179,12 +183,24 @@ def _train_setup():
     )
 
 
-def bench_train_step(module, variables, y, cbcr, augmented=False):
+def bench_train_step(module, variables, y, cbcr, augmented=False,
+                     finetune=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     encoder, gt, gt_mask, loss_obj, tx = _train_setup()
+    if finetune:
+        # The opt-in fine-tune fast path (BENCHMARK.md "Opt-in training
+        # throughput options"): frozen BN (eval-mode BN, running stats
+        # untouched — the standard recipe when fine-tuning from imported
+        # pretrained statistics, which is the reference's own detection
+        # setup, training_dct_pascal_j2d_resnet.py:137-149) + bf16 momentum
+        # trace (`config.momentum_dtype`).  Mirrors train/loop.py's
+        # build_optimizer + trainer.py's freeze_bn branch exactly.
+        import optax as _optax
+
+        tx = _optax.sgd(1e-3, momentum=0.9, accumulator_dtype="bfloat16")
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
 
@@ -239,10 +255,16 @@ def bench_train_step(module, variables, y, cbcr, augmented=False):
                     tgt = encoder.encode_fn(gt_i, gt_mask)
 
                 def loss_of(pp):
-                    out, _ = module.apply(
-                        {"params": pp, "batch_stats": batch_stats},
-                        (yy, cc), train=True, mutable=["batch_stats"],
-                    )
+                    if finetune:
+                        out = module.apply(
+                            {"params": pp, "batch_stats": batch_stats},
+                            (yy, cc), train=False,
+                        )
+                    else:
+                        out, _ = module.apply(
+                            {"params": pp, "batch_stats": batch_stats},
+                            (yy, cc), train=True, mutable=["batch_stats"],
+                        )
                     return loss_obj(tgt, out.astype(jnp.float32))
 
                 loss, grads = jax.value_and_grad(loss_of)(p)
@@ -259,6 +281,7 @@ def bench_train_step(module, variables, y, cbcr, augmented=False):
 
     t = slope_seconds(build, CHAIN)
     name = ("dct_ssd300_train_augmented_throughput" if augmented
+            else "dct_ssd300_train_finetune_throughput" if finetune
             else "dct_ssd300_train_step_throughput")
     return emit(
         name, BATCH / t, "images/sec/chip",
@@ -499,6 +522,7 @@ def main():
     safe(bench_forward, module, variables, y, cbcr)
     safe(bench_train_step, module, variables, y, cbcr, False)
     safe(bench_train_step, module, variables, y, cbcr, True)
+    safe(bench_train_step, module, variables, y, cbcr, False, True)
     safe(bench_packed_pipeline)
     safe(bench_inference_int8, module, variables, y, cbcr)
     safe(bench_classification, jnp.bfloat16)

@@ -108,13 +108,27 @@ def print_table(summary, metric, label, extra_col=None):
 
 
 def main():
-    paths = sys.argv[1:] or ["/tmp/proxy_r3/queue.log"]
+    args = sys.argv[1:]
+    # --steps N keeps only runs that reached N total steps in the summary
+    # tables (round3_runs.json still records everything verbatim).  Needed
+    # for two-phase queues (scripts/run_freezebn_proxy.sh): their phase-1
+    # checkpoints emit a result line at an intermediate step count under
+    # the SAME variant name, which would otherwise pollute that variant's
+    # statistics.
+    steps_filter = None
+    if "--steps" in args:
+        i = args.index("--steps")
+        steps_filter = int(args[i + 1])
+        del args[i:i + 2]
+    paths = args or ["/tmp/proxy_r3/queue.log"]
     runs = load_runs(paths)
     if not runs:
         sys.exit(f"no result lines found in {paths}")
 
     det, cls = {}, {}
     for r in runs:
+        if steps_filter is not None and r["steps"] != steps_filter:
+            continue
         group = det if "heldout_mAP" in r else cls
         group.setdefault(r["variant"], []).append(r)
 
