@@ -1,7 +1,7 @@
 """Benchmark: DCT-SSD300 (ssd_custom) throughput on TPU — all headline paths.
 
 Emits one JSON line per metric (the driver-scored headline is computed
-FIRST for robustness to truncation and REPRINTED as the final line):
+FIRST for robustness to truncation and REPRINTED after every row):
 
   * matmul_calibration_bf16 — pure 4096^3 matmul TFLOP/s pinning the chip's
     honest achievable peak (the cost-model denominator; true-f32/HIGHEST and
@@ -13,9 +13,9 @@ FIRST for robustness to truncation and REPRINTED as the final line):
     device augmentation chain (photometric + expand + min-IoU crop + resize
     + flip in coefficient space) — the `--device-augment` production path;
   * dct_ssd300_train_finetune_throughput — the opt-in fine-tune fast path:
-    frozen BN (`config.freeze_bn`, the pretrained-backbone recipe) + bf16
-    momentum trace (`config.momentum_dtype`), measured +17.5% over the
-    default step (BENCHMARK.md "Opt-in training throughput options");
+    frozen BN (`config.freeze_bn`, the pretrained-backbone recipe — running
+    stats pre-converged onto the bench batch, emulating imported pretrained
+    statistics) + bf16 momentum trace (`config.momentum_dtype`);
   * packed_pipeline_host_throughput — host-side packed-corpus batch assembly
     (memmap gather + int16 cast), no TPU involved;
   * dct_ssd300_inference_throughput — forward + full decode (softmax,
@@ -29,16 +29,21 @@ FIRST for robustness to truncation and REPRINTED as the final line):
 
 Methodology (BENCHMARK.md "measurement integrity"): N executions are CHAINED
 inside one jitted program via a data dependency and completion is forced by a
-host readback.  This environment's TPU relay additionally adds a ~25 ms FIXED
-round-trip per dispatch (measured: a 4096^3 matmul chain of 30 reads 1.57
-ms/iter while a chain of 200 reads 0.85; the slope gives 0.72), so every
-per-iteration number here is the SLOPE between a short and a long chain —
-(T(4n) - T(n)) / 3n — which cancels the fixed cost exactly; the slope is
-the MEDIAN over interleaved sample pairs with physically-impossible pairs
-(long chain not slower than short) rejected, since the relay rarely also
-produces too-fast samples that a best-of-min would select.  Naive
-block_until_ready loops over-report by 2-40x and single-chain timings
-over-report small kernels by overhead/n: neither appears below.
+host readback.  This environment's TPU relay adds a ~25 ms FIXED round-trip
+per dispatch, so every per-iteration number is the SLOPE between a short and
+a long chain — (T(4n) - T(n)) / 3n — which cancels the fixed cost exactly;
+the slope is the MEDIAN over interleaved sample pairs with physically-
+impossible pairs rejected.  The chain length is a DYNAMIC `fori_loop` trip
+count, so both chain lengths share ONE compiled executable.
+
+Wall-clock engineering (round 4 — the round-3 driver run died at rc=124):
+the relay costs ~30-200 s PER PROGRAM COMPILE but parallelizes concurrent
+compiles almost perfectly, so all row programs are AOT-compiled CONCURRENTLY
+(ThreadPoolExecutor) after the headline is measured, then timed serially on
+a quiet chip.  A wall-clock budget (BENCH_BUDGET_S) bounds the compile
+barrier; rows whose compile misses the budget are skipped with an explicit
+JSON row, and the headline is reprinted after every row so even a hard kill
+parses to the headline metric.
 
 Baseline: the reference never publishes throughput (BASELINE.md).  We bound
 the P100 reference at 100 images/sec for inference (SSD300-class Keras/TF-1.8
@@ -51,26 +56,32 @@ graphs with in-graph NMS ran at ~40-70 FPS on contemporary P100 reports) and
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 P100_INFER_BASELINE = 100.0
 P100_TRAIN_BASELINE = 89.0
+K80_TRAIN_BASELINE = 50.0
 BATCH = 32
+CLS_BATCH = 256
 CHAIN = 10  # short chain; the long chain is 4x this
 TRIALS = 3  # median over physically-consistent interleaved pairs
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+_T0 = time.monotonic()
 
 # ONE definition of the measurement-critical slope protocol, shared with
 # every scripts/profile_*.py (jpeg_detection_resnet_ssd_tpu/utils/timing.py).
 from jpeg_detection_resnet_ssd_tpu.utils.timing import (  # noqa: E402
-    slope_seconds as _slope_seconds,
+    slope_seconds_dynamic,
 )
 
 
-def slope_seconds(build_chained, n, trials=TRIALS):
-    return _slope_seconds(build_chained, n, trials=trials)
+def _elapsed():
+    return time.monotonic() - _T0
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):
@@ -82,32 +93,14 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
     return row
 
 
-def bench_matmul_calibration():
+def _aot(chained, example=None):
+    """AOT-compile a jitted fn of one dynamic int32 scalar (chain length)."""
     import jax
     import jax.numpy as jnp
 
-    k = 4096
-    flops = 2 * k**3
-    a = jnp.asarray(
-        np.random.default_rng(0).normal(0, 0.02, (k, k)), jnp.bfloat16
-    )
-
-    def build(n):
-        @jax.jit
-        def chained():
-            def body(c, _):
-                return c @ a, None
-
-            out, _ = jax.lax.scan(body, a, None, length=n)
-            return jnp.sum(out).astype(jnp.float32)
-
-        return chained
-
-    t = slope_seconds(build, 50)
-    emit("matmul_calibration_bf16", flops / t / 1e12, "TFLOP/s",
-         note="achievable chip peak; v5e nominal bf16 is ~197")
-
-    return flops / t / 1e12
+    lowered = chained.lower(jax.ShapeDtypeStruct((), jnp.int32))
+    compiled = lowered.compile()
+    return lambda n: compiled(np.int32(n))
 
 
 def _flagship(dtype):
@@ -126,37 +119,7 @@ def _flagship(dtype):
     return module, variables, y, cbcr
 
 
-def bench_forward(module, variables, y, cbcr):
-    import jax
-    import jax.numpy as jnp
-
-    def build(n):
-        @jax.jit
-        def chained():
-            # BOTH inputs are perturbed by the carry — a loop-invariant
-            # branch (constant input x constant weights, e.g. the CbCr
-            # stem pre-concat) would otherwise be constant-folded out of
-            # the measured loop.
-            def body(acc, _):
-                out = module.apply(
-                    variables, (y + acc, cbcr + acc), train=False
-                )
-                return jnp.sum(out).astype(jnp.float32) * 1e-12, None
-
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return out
-
-        return chained
-
-    t = slope_seconds(build, CHAIN)
-    return emit(
-        "dct_ssd300_forward_throughput", BATCH / t, "images/sec/chip",
-        vs_baseline=BATCH / t / P100_INFER_BASELINE,
-        ms_per_batch=round(t * 1e3, 2),
-    )
-
-
-def _train_setup():
+def _train_setup(img_size=300):
     import jax.numpy as jnp
     import optax
 
@@ -165,7 +128,7 @@ def _train_setup():
     from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
 
     encoder = TargetEncoder(
-        spec=AnchorSpec(),
+        spec=AnchorSpec(img_height=img_size, img_width=img_size),
         predictor_sizes=ssd_predictor_sizes("resnet_custom"),
         n_classes=20,
     )
@@ -183,35 +146,102 @@ def _train_setup():
     )
 
 
-def bench_train_step(module, variables, y, cbcr, augmented=False,
-                     finetune=False):
+# ---------------------------------------------------------------------------
+# Row preparers.  Each returns a list of (sublabel, timed_fn, chain_n,
+# reporter) units; `timed_fn(length)` runs a `length`-iteration chain (AOT-
+# compiled, dynamic trip count) and `reporter(t_per_iter)` emits the row.
+# ---------------------------------------------------------------------------
+
+
+def prep_matmul():
+    import jax
+    import jax.numpy as jnp
+
+    k = 4096
+    flops = 2 * k**3
+    a = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.02, (k, k)), jnp.bfloat16
+    )
+
+    @jax.jit
+    def chained(length):
+        out = jax.lax.fori_loop(0, length, lambda i, c: c @ a, a)
+        return jnp.sum(out).astype(jnp.float32)
+
+    def report(t):
+        emit("matmul_calibration_bf16", flops / t / 1e12, "TFLOP/s",
+             note="achievable chip peak; v5e nominal bf16 is ~197")
+
+    return [("matmul_calibration_bf16", _aot(chained), 50, report)]
+
+
+def prep_forward(module, variables, y, cbcr):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(length):
+        # BOTH inputs are perturbed by the carry — a loop-invariant branch
+        # (constant input x constant weights, e.g. the CbCr stem pre-concat)
+        # would otherwise be constant-folded out of the measured loop.
+        def body(i, acc):
+            out = module.apply(variables, (y + acc, cbcr + acc), train=False)
+            return jnp.sum(out).astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, length, body, jnp.float32(0.0))
+
+    def report(t):
+        emit("dct_ssd300_forward_throughput", BATCH / t, "images/sec/chip",
+             vs_baseline=BATCH / t / P100_INFER_BASELINE,
+             ms_per_batch=round(t * 1e3, 2))
+
+    return [("dct_ssd300_forward_throughput", _aot(chained), CHAIN, report)]
+
+
+def prep_train(module, variables, y, cbcr, augmented=False, finetune=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     encoder, gt, gt_mask, loss_obj, tx = _train_setup()
+    params, batch_stats = variables["params"], variables["batch_stats"]
     if finetune:
         # The opt-in fine-tune fast path (BENCHMARK.md "Opt-in training
-        # throughput options"): frozen BN (eval-mode BN, running stats
-        # untouched — the standard recipe when fine-tuning from imported
-        # pretrained statistics, which is the reference's own detection
-        # setup, training_dct_pascal_j2d_resnet.py:137-149) + bf16 momentum
-        # trace (`config.momentum_dtype`).  Mirrors train/loop.py's
-        # build_optimizer + trainer.py's freeze_bn branch exactly.
-        import optax as _optax
+        # throughput options"): frozen BN + bf16 momentum trace — the
+        # pretrained-backbone recipe (the reference's own detection setup,
+        # training_dct_pascal_j2d_resnet.py:137-149).  Frozen BN on RANDOM
+        # identity statistics diverges on raw ~N(0,100) DCT inputs (round
+        # 3's driver run died with a NaN chained loss): production
+        # freeze_bn always starts from IMPORTED pretrained statistics, so
+        # converge the running stats onto the bench batch first
+        # (0.9^50 ~ 5e-3 residual) — the timed chain then measures the
+        # production regime AND stays finite.  The chain lr is 1e-5, not
+        # 1e-3: without BN's per-layer re-normalization (frozen), 40
+        # CHAINED updates on the same batch at fine-tune lr still blow up
+        # — the lr scalar changes nothing about the measured computation
+        # (identical graph, identical FLOPs), only the iterate's norm.
+        tx = optax.sgd(1e-5, momentum=0.9, accumulator_dtype="bfloat16")
 
-        tx = _optax.sgd(1e-3, momentum=0.9, accumulator_dtype="bfloat16")
-    params, batch_stats = variables["params"], variables["batch_stats"]
+        @jax.jit
+        def _warm(bs):
+            def body(bs, _):
+                _, mut = module.apply(
+                    {"params": params, "batch_stats": bs},
+                    (y, cbcr), train=True, mutable=["batch_stats"],
+                )
+                return mut["batch_stats"], None
+
+            bs, _ = jax.lax.scan(body, bs, None, length=50)
+            return bs
+
+        batch_stats = jax.tree_util.tree_map(
+            lambda x: x.block_until_ready(), _warm(batch_stats)
+        )
     opt_state = tx.init(params)
 
     aug = None
     y_in, c_in = y, cbcr
     if augmented:
-        from jpeg_detection_resnet_ssd_tpu.boxes import (
-            AnchorSpec,
-            TargetEncoder,
-        )
-        from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
         from jpeg_detection_resnet_ssd_tpu.ops import (
             make_dct_detection_augment_v3,
         )
@@ -219,78 +249,135 @@ def bench_train_step(module, variables, y, cbcr, augmented=False,
         aug = make_dct_detection_augment_v3(out_y_blocks=38)
         rng = np.random.default_rng(1)
         # oversized 44-block source frame, as shipped by the packed pipeline
-        y_in = jnp.asarray(
-            rng.normal(0, 100, (BATCH, 44, 44, 64)), jnp.float32
-        )
-        c_in = jnp.asarray(
-            rng.normal(0, 30, (BATCH, 22, 22, 128)), jnp.float32
-        )
-        encoder = TargetEncoder(
-            spec=AnchorSpec(img_height=304, img_width=304),
-            predictor_sizes=ssd_predictor_sizes("resnet_custom"),
-            n_classes=20,
-        )
+        y_in = jnp.asarray(rng.normal(0, 100, (BATCH, 44, 44, 64)),
+                           jnp.float32)
+        c_in = jnp.asarray(rng.normal(0, 30, (BATCH, 22, 22, 128)),
+                           jnp.float32)
+        encoder, gt, gt_mask, loss_obj, _ = _train_setup(img_size=304)
 
-    def build(n):
-        @jax.jit
-        def chained():
-            def body(carry, i):
-                p, o = carry
-                if aug is not None:
-                    batch = {
-                        "inputs": (y_in, c_in), "gt": gt, "gt_mask": gt_mask
-                    }
-                    batch = aug(batch, jax.random.fold_in(
-                        jax.random.PRNGKey(0), i))
-                    yy, cc = batch["inputs"]
-                    tgt = encoder.encode_fn(batch["gt"], batch["gt_mask"])
-                else:
-                    yy, cc = y_in, c_in
-                    # iteration-dependent sub-pixel jitter: a CONSTANT gt
-                    # would let XLA hoist the whole in-step encode out of
-                    # the timed loop (the row's name promises it's inside).
-                    gt_i = gt.at[..., 1:].add(
-                        i.astype(jnp.float32) * 1e-6
+    @jax.jit
+    def chained(length):
+        def body(i, carry):
+            p, o, lsum = carry
+            if aug is not None:
+                batch = {"inputs": (y_in, c_in), "gt": gt,
+                         "gt_mask": gt_mask}
+                batch = aug(batch, jax.random.fold_in(
+                    jax.random.PRNGKey(0), i))
+                yy, cc = batch["inputs"]
+                tgt = encoder.encode_fn(batch["gt"], batch["gt_mask"])
+            else:
+                yy, cc = y_in, c_in
+                # iteration-dependent sub-pixel jitter: a CONSTANT gt
+                # would let XLA hoist the whole in-step encode out of
+                # the timed loop (the row's name promises it's inside).
+                gt_i = gt.at[..., 1:].add(i.astype(jnp.float32) * 1e-6)
+                tgt = encoder.encode_fn(gt_i, gt_mask)
+
+            def loss_of(pp):
+                if finetune:
+                    out = module.apply(
+                        {"params": pp, "batch_stats": batch_stats},
+                        (yy, cc), train=False,
                     )
-                    tgt = encoder.encode_fn(gt_i, gt_mask)
+                else:
+                    out, _ = module.apply(
+                        {"params": pp, "batch_stats": batch_stats},
+                        (yy, cc), train=True, mutable=["batch_stats"],
+                    )
+                return loss_obj(tgt, out.astype(jnp.float32))
 
-                def loss_of(pp):
-                    if finetune:
-                        out = module.apply(
-                            {"params": pp, "batch_stats": batch_stats},
-                            (yy, cc), train=False,
-                        )
-                    else:
-                        out, _ = module.apply(
-                            {"params": pp, "batch_stats": batch_stats},
-                            (yy, cc), train=True, mutable=["batch_stats"],
-                        )
-                    return loss_obj(tgt, out.astype(jnp.float32))
+            loss, grads = jax.value_and_grad(loss_of)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2, lsum + loss)
 
-                loss, grads = jax.value_and_grad(loss_of)(p)
-                updates, o2 = tx.update(grads, o, p)
-                return (optax.apply_updates(p, updates), o2), loss
+        p_out, _, lsum = jax.lax.fori_loop(
+            0, length, body, (params, opt_state, jnp.float32(0.0))
+        )
+        first = jax.tree_util.tree_leaves(p_out)[0]
+        return jnp.sum(first).astype(jnp.float32) + lsum
 
-            (p_out, _), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(n)
-            )
-            first = jax.tree_util.tree_leaves(p_out)[0]
-            return jnp.sum(first).astype(jnp.float32) + jnp.sum(losses)
-
-        return chained
-
-    t = slope_seconds(build, CHAIN)
     name = ("dct_ssd300_train_augmented_throughput" if augmented
             else "dct_ssd300_train_finetune_throughput" if finetune
             else "dct_ssd300_train_step_throughput")
-    return emit(
-        name, BATCH / t, "images/sec/chip",
-        vs_baseline=BATCH / t / P100_TRAIN_BASELINE,
-        ms_per_batch=round(t * 1e3, 2),
+
+    def report(t):
+        emit(name, BATCH / t, "images/sec/chip",
+             vs_baseline=BATCH / t / P100_TRAIN_BASELINE,
+             ms_per_batch=round(t * 1e3, 2))
+
+    return [(name, _aot(chained), CHAIN, report)]
+
+
+def prep_inference(module, variables, y, cbcr):
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.models import make_inference_fn
+
+    # Serving opts into the shared candidate pool explicitly (the library
+    # default is the reference's literal 'exact' per-class selector).
+    decode = make_inference_fn(
+        n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
     )
 
+    @jax.jit
+    def chained(length):
+        def body(i, acc):
+            preds = module.apply(variables, (y + acc, cbcr + acc),
+                                 train=False)
+            out = decode(preds.astype(jnp.float32))
+            return jnp.sum(out[:, :, 1]) * 1e-9
 
-def bench_classification(dtype, B=256, chain=CHAIN):
+        return jax.lax.fori_loop(0, length, body, jnp.float32(0.0))
+
+    def report(t):
+        return emit(
+            "dct_ssd300_inference_throughput", BATCH / t, "images/sec/chip",
+            vs_baseline=BATCH / t / P100_INFER_BASELINE,
+            ms_per_batch=round(t * 1e3, 2),
+        )
+
+    return [("dct_ssd300_inference_throughput", _aot(chained), CHAIN, report)]
+
+
+def prep_inference_int8(module, variables, y, cbcr):
+    """Serving path with the int8-quantized trunk (serve/quantize.py):
+    int8 MXU rate is ~2x bf16; measured mAP cost on a trained proxy
+    checkpoint is 0.002 (BENCHMARK.md serving-transforms table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
+    from jpeg_detection_resnet_ssd_tpu.models import make_inference_fn
+    from jpeg_detection_resnet_ssd_tpu.serve import quantize_for_serving
+
+    qfn, _ = quantize_for_serving(module, variables, [(y, cbcr)])
+    decode = make_inference_fn(
+        n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
+    )
+
+    @jax.jit
+    def chained(length):
+        def body(i, acc):
+            preds = qfn((y + acc, cbcr + acc))
+            out = decode(preds.astype(jnp.float32))
+            return jnp.sum(out[:, :, 1]) * 1e-9
+
+        return jax.lax.fori_loop(0, length, body, jnp.float32(0.0))
+
+    def report(t):
+        emit("dct_ssd300_inference_int8_throughput", BATCH / t,
+             "images/sec/chip",
+             vs_baseline=BATCH / t / P100_INFER_BASELINE,
+             ms_per_batch=round(t * 1e3, 2))
+
+    return [("dct_ssd300_inference_int8_throughput", _aot(chained), CHAIN,
+             report)]
+
+
+def prep_classification():
     """The reference's OTHER headline workload: ImageNet-class ResNet50-DCT
     (deconv stem — its best architecture, `README.md:211`).  Forward and
     full training step (softmax CE + SGD-momentum), batch 256 per chip (the
@@ -304,8 +391,8 @@ def bench_classification(dtype, B=256, chain=CHAIN):
     from jpeg_detection_resnet_ssd_tpu.losses import softmax_cross_entropy
     from jpeg_detection_resnet_ssd_tpu.models import build_model
 
-    K80_TRAIN_BASELINE = 50.0
-    module, _ = build_model("resnet50_dct_deconv", dtype=dtype)
+    B = CLS_BATCH
+    module, _ = build_model("resnet50_dct_deconv", dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.normal(0, 100, (B, 28, 28, 64)), jnp.float32)
     cb = jnp.asarray(rng.normal(0, 30, (B, 14, 14, 64)), jnp.float32)
@@ -313,76 +400,68 @@ def bench_classification(dtype, B=256, chain=CHAIN):
     variables = module.init(
         jax.random.PRNGKey(0), (y[:1], cb[:1], cr[:1]), train=False
     )
-    labels = jax.nn.one_hot(
-        jnp.asarray(rng.integers(0, 1000, (B,))), 1000
-    )
+    labels = jax.nn.one_hot(jnp.asarray(rng.integers(0, 1000, (B,))), 1000)
 
-    def build_fwd(n):
-        @jax.jit
-        def chained():
-            # ALL inputs are perturbed by the carry: a loop-invariant branch
-            # (constant input x constant weights) would be constant-folded
-            # out of the measured loop by XLA (observed on the CPU backend).
-            def body(acc, _):
-                out = module.apply(
-                    variables,
-                    (y + acc, cb + acc, cr + acc),
-                    train=False,
-                )
-                return jnp.sum(out).astype(jnp.float32) * 1e-12, None
+    @jax.jit
+    def chained_fwd(length):
+        # ALL inputs are perturbed by the carry: a loop-invariant branch
+        # (constant input x constant weights) would be constant-folded
+        # out of the measured loop by XLA (observed on the CPU backend).
+        def body(i, acc):
+            out = module.apply(variables, (y + acc, cb + acc, cr + acc),
+                               train=False)
+            return jnp.sum(out).astype(jnp.float32) * 1e-12
 
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return out
-
-        return chained
-
-    t = slope_seconds(build_fwd, chain)
-    emit("resnet50_dct_forward_throughput", B / t, "images/sec/chip",
-         ms_per_batch=round(t * 1e3, 2))
+        return jax.lax.fori_loop(0, length, body, jnp.float32(0.0))
 
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     opt_state = tx.init(params)
 
-    def build_train(n):
-        @jax.jit
-        def chained():
-            def body(carry, _):
-                p, o = carry
+    @jax.jit
+    def chained_train(length):
+        def body(i, carry):
+            p, o, lsum = carry
 
-                def loss_of(pp):
-                    out, _ = module.apply(
-                        {"params": pp, "batch_stats": batch_stats},
-                        (y, cb, cr), train=True, mutable=["batch_stats"],
-                    )
-                    return jnp.mean(
-                        softmax_cross_entropy(
-                            out.astype(jnp.float32), labels
-                        )
-                    )
+            def loss_of(pp):
+                out, _ = module.apply(
+                    {"params": pp, "batch_stats": batch_stats},
+                    (y, cb, cr), train=True, mutable=["batch_stats"],
+                )
+                return jnp.mean(
+                    softmax_cross_entropy(out.astype(jnp.float32), labels)
+                )
 
-                loss, grads = jax.value_and_grad(loss_of)(p)
-                updates, o2 = tx.update(grads, o, p)
-                return (optax.apply_updates(p, updates), o2), loss
+            loss, grads = jax.value_and_grad(loss_of)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2, lsum + loss)
 
-            (p_out, _), losses = jax.lax.scan(
-                body, (params, opt_state), None, length=n
-            )
-            first = jax.tree_util.tree_leaves(p_out)[0]
-            return jnp.sum(first).astype(jnp.float32) + jnp.sum(losses)
+        p_out, _, lsum = jax.lax.fori_loop(
+            0, length, body, (params, opt_state, jnp.float32(0.0))
+        )
+        first = jax.tree_util.tree_leaves(p_out)[0]
+        return jnp.sum(first).astype(jnp.float32) + lsum
 
-        return chained
+    def report_fwd(t):
+        emit("resnet50_dct_forward_throughput", B / t, "images/sec/chip",
+             ms_per_batch=round(t * 1e3, 2))
 
-    t = slope_seconds(build_train, chain)
-    emit("resnet50_dct_train_step_throughput", B / t, "images/sec/chip",
-         vs_baseline=B / t / K80_TRAIN_BASELINE,
-         ms_per_batch=round(t * 1e3, 2))
+    def report_train(t):
+        emit("resnet50_dct_train_step_throughput", B / t, "images/sec/chip",
+             vs_baseline=B / t / K80_TRAIN_BASELINE,
+             ms_per_batch=round(t * 1e3, 2))
+
+    return [
+        ("resnet50_dct_forward_throughput", _aot(chained_fwd), CHAIN,
+         report_fwd),
+        ("resnet50_dct_train_step_throughput", _aot(chained_train), CHAIN,
+         report_train),
+    ]
 
 
 def bench_packed_pipeline():
     """Host-side packed-corpus batch assembly (no TPU): memmap gather +
     int16 cast, the per-epoch host work of the --pack-cache path."""
-    import os
     import tempfile
 
     from jpeg_detection_resnet_ssd_tpu.data.packed import (
@@ -411,8 +490,7 @@ def bench_packed_pipeline():
         ds = PackedDctDataset(stem)
         pipe = PackedDctPipeline(ds, BATCH, train=True, seed=0,
                                  ship_dtype="int16")
-        # warm the page cache
-        for _ in pipe:
+        for _ in pipe:  # warm the page cache
             pass
         t0 = time.perf_counter()
         epochs = 5
@@ -421,112 +499,105 @@ def bench_packed_pipeline():
             for batch in pipe:
                 count += batch["inputs"][0].shape[0]
         dt = time.perf_counter() - t0
-    return emit(
-        "packed_pipeline_host_throughput", count / dt, "images/sec/host",
-        note="memmap gather + int16 cast; no TPU involved",
-    )
-
-
-def bench_inference(module, variables, y, cbcr):
-    import jax
-    import jax.numpy as jnp
-
-    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
-    from jpeg_detection_resnet_ssd_tpu.models import make_inference_fn
-
-    # Serving opts into the shared candidate pool explicitly (the library
-    # default is the reference's literal 'exact' per-class selector).
-    decode = make_inference_fn(
-        n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
-    )
-
-    def build(n):
-        @jax.jit
-        def chained():
-            def body(acc, _):
-                preds = module.apply(
-                    variables, (y + acc, cbcr + acc), train=False
-                )
-                out = decode(preds.astype(jnp.float32))
-                return jnp.sum(out[:, :, 1]) * 1e-9, None
-
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return out
-
-        return chained
-
-    t = slope_seconds(build, CHAIN)
-    return emit(
-        "dct_ssd300_inference_throughput", BATCH / t, "images/sec/chip",
-        vs_baseline=BATCH / t / P100_INFER_BASELINE,
-        ms_per_batch=round(t * 1e3, 2),
-    )
-
-
-def bench_inference_int8(module, variables, y, cbcr):
-    """Serving path with the int8-quantized trunk (serve/quantize.py):
-    int8 MXU rate is ~2x bf16; measured mAP cost on a trained proxy
-    checkpoint is 0.002 (BENCHMARK.md serving-transforms table)."""
-    import jax
-    import jax.numpy as jnp
-
-    from jpeg_detection_resnet_ssd_tpu.boxes.anchors import AnchorSpec
-    from jpeg_detection_resnet_ssd_tpu.models import make_inference_fn
-    from jpeg_detection_resnet_ssd_tpu.serve import quantize_for_serving
-
-    qfn, _ = quantize_for_serving(module, variables, [(y, cbcr)])
-    decode = make_inference_fn(
-        n_classes=20, spec=AnchorSpec(), candidate_selector="shared"
-    )
-
-    def build(n):
-        @jax.jit
-        def chained():
-            def body(acc, _):
-                preds = qfn((y + acc, cbcr + acc))
-                out = decode(preds.astype(jnp.float32))
-                return jnp.sum(out[:, :, 1]) * 1e-9, None
-
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return out
-
-        return chained
-
-    t = slope_seconds(build, CHAIN)
-    return emit(
-        "dct_ssd300_inference_int8_throughput", BATCH / t, "images/sec/chip",
-        vs_baseline=BATCH / t / P100_INFER_BASELINE,
-        ms_per_batch=round(t * 1e3, 2),
-    )
+    emit("packed_pipeline_host_throughput", count / dt, "images/sec/host",
+         note="memmap gather + int16 cast; no TPU involved")
 
 
 def main():
     import jax.numpy as jnp
 
-    # The driver-scored headline runs FIRST (so a truncated run still
-    # produced it) and its row is REPRINTED as the final line (the driver
-    # reads the last line; duplicates are harmless).  Non-headline metrics
-    # are individually isolated so one failure can't sink the run.
+    # Phase 0: flagship init (one compile) + the HEADLINE row, measured
+    # serially before anything else so a truncated run still produced it.
     module, variables, y, cbcr = _flagship(jnp.bfloat16)
-    headline = bench_inference(module, variables, y, cbcr)
+    (label, fn, n, report), = prep_inference(module, variables, y, cbcr)
+    headline = report(slope_seconds_dynamic(fn, n, trials=TRIALS))
 
-    def safe(fn, *a):
+    # Phase 1: AOT-compile every other row CONCURRENTLY (the relay
+    # parallelizes compiles almost perfectly; serially they cost 30-200 s
+    # EACH and round 3's driver run timed out).  prepare() includes any
+    # setup executions (finetune BN warm-up, int8 calibration).
+    specs = [
+        ("train", 1, lambda: prep_train(module, variables, y, cbcr)),
+        ("train_finetune", 2,
+         lambda: prep_train(module, variables, y, cbcr, finetune=True)),
+        ("train_augmented", 1,
+         lambda: prep_train(module, variables, y, cbcr, augmented=True)),
+        ("inference_int8", 2,
+         lambda: prep_inference_int8(module, variables, y, cbcr)),
+        ("classification", 3, prep_classification),
+        ("matmul", 1, prep_matmul),
+    ]
+
+    def compile_row(prep):
+        t0 = time.monotonic()
+        units = prep()
+        return units, round(time.monotonic() - t0, 1)
+
+    pool = ThreadPoolExecutor(max_workers=6)
+    futures = {name: pool.submit(compile_row, prep)
+               for name, _, prep in specs}
+
+    def reprint():
+        print(json.dumps(headline), flush=True)
+
+    # Host-only row: no TPU, run while device compiles are in flight.
+    try:
+        bench_packed_pipeline()
+    except Exception as e:  # pragma: no cover - defensive
+        print(json.dumps({"metric": "packed_pipeline_host_throughput",
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+    reprint()
+
+    # Phase 2: barrier on the compile pool (budget-bounded), then time each
+    # row serially on a quiet chip.  ~10 s of executions per row.
+    exec_reserve = 15.0 * sum(w for _, w, _ in specs)
+    for name, weight, _ in specs:
+        remaining = BUDGET_S - _elapsed()
+        wait = max(5.0, remaining - exec_reserve)
         try:
-            fn(*a)
+            units, compile_s = futures[name].result(timeout=wait)
+        except TimeoutError:
+            print(json.dumps({"metric": name, "skipped": True,
+                              "reason": f"compile not done within budget "
+                                        f"({remaining:.0f}s left)"}),
+                  flush=True)
+            reprint()
+            continue
         except Exception as e:  # pragma: no cover - defensive
-            print(json.dumps({"metric": fn.__name__,
+            print(json.dumps({"metric": name,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
+            reprint()
+            continue
+        for sublabel, fn, n, report in units:
+            t0 = time.monotonic()
+            try:
+                t = slope_seconds_dynamic(fn, n, trials=TRIALS)
+                report(t)
+            except Exception as e:  # pragma: no cover - defensive
+                print(json.dumps({"metric": sublabel,
+                                  "error": f"{type(e).__name__}: {e}"[:300],
+                                  "compile_s": compile_s}),
+                      flush=True)
+                continue
+            print(json.dumps({"metric": sublabel + "__telemetry",
+                              "compile_s": compile_s,
+                              "measure_s": round(time.monotonic() - t0, 1),
+                              "elapsed_s": round(_elapsed(), 1)}),
+                  flush=True)
+        reprint()
 
-    safe(bench_matmul_calibration)
-    safe(bench_forward, module, variables, y, cbcr)
-    safe(bench_train_step, module, variables, y, cbcr, False)
-    safe(bench_train_step, module, variables, y, cbcr, True)
-    safe(bench_train_step, module, variables, y, cbcr, False, True)
-    safe(bench_packed_pipeline)
-    safe(bench_inference_int8, module, variables, y, cbcr)
-    safe(bench_classification, jnp.bfloat16)
-    print(json.dumps(headline))
+    print(json.dumps({"metric": "bench_total_s",
+                      "value": round(_elapsed(), 1), "unit": "seconds"}),
+          flush=True)
+    reprint()
+    if not all(f.done() for f in futures.values()):
+        # A straggler compile thread would block interpreter shutdown (pool
+        # threads are joined at exit) — everything is printed, exit hard.
+        sys.stdout.flush()
+        os._exit(0)
+    pool.shutdown(wait=False)
     return headline
 
 

@@ -68,6 +68,26 @@ def _load_config(args, defaults):
     return config
 
 
+def _resume_or_create_run_dir(config) -> str:
+    """`--restart` resumes the LATEST existing run of this workspace/project
+    (the reference's restart semantics, `training.py:74-103`: it re-opens the
+    most recent experiment dir and `fit()` restores its checkpoint) instead
+    of creating a fresh dir whose empty checkpoints/ would silently train
+    from scratch.  Falls back to a new run dir when none exists."""
+    from jpeg_detection_resnet_ssd_tpu.train.config import (
+        create_run_dir,
+        find_latest_run,
+    )
+
+    if config.restart:
+        existing = find_latest_run(config)
+        if existing is not None:
+            return existing
+        print("restart requested but no prior run found; starting fresh",
+              file=sys.stderr)
+    return create_run_dir(config)
+
+
 def _resolve_pretrained_source(spec: str) -> str:
     """`--pretrained-weights` accepts a local H5 path, a known-checkpoint
     short name (checksum-verified fetch, `compat/fetch.py`), or a URL with
@@ -136,7 +156,6 @@ def cmd_train_classify(args):
         ClassificationPipeline,
         ImageFolderDataset,
     )
-    from jpeg_detection_resnet_ssd_tpu.train.config import create_run_dir
     from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer, fit
 
     archi = args.archi or "late_concat_rfa_thinner"
@@ -201,7 +220,7 @@ def cmd_train_classify(args):
             input_format=config.input_format, num_workers=config.num_workers,
             seed=config.seed,
         )
-    run_dir = create_run_dir(config)
+    run_dir = _resume_or_create_run_dir(config)
     print(f"run dir: {run_dir}")
     trainer, module, example_inputs = build_trainer(
         config, augment_fn=augment_fn
@@ -223,7 +242,6 @@ def cmd_train_detect(args):
     )
     from jpeg_detection_resnet_ssd_tpu.data.augment import SSDDataAugmentation
     from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes
-    from jpeg_detection_resnet_ssd_tpu.train.config import create_run_dir
     from jpeg_detection_resnet_ssd_tpu.train.loop import build_trainer, fit
 
     archi = args.archi or "ssd_custom"
@@ -330,7 +348,7 @@ def cmd_train_detect(args):
             num_workers=config.num_workers, seed=config.seed,
             device_encode=True,
         )
-    run_dir = create_run_dir(config)
+    run_dir = _resume_or_create_run_dir(config)
     print(f"run dir: {run_dir}")
     trainer, module, example_inputs = build_trainer(
         config, target_encoder=encoder.encode_fn, augment_fn=augment_fn

@@ -43,8 +43,10 @@ def slope_seconds(build_chained, n: int, trials: int = 3) -> float:
     (4x the chained work, same fixed dispatch cost) and is rejected;
     the median over the surviving pairs absorbs one-sided stall noise.
     """
-    short, long = build_chained(n), build_chained(4 * n)
+    return _paired_slope(build_chained(n), build_chained(4 * n), n, trials)
 
+
+def _paired_slope(short, long, n: int, trials: int) -> float:
     def timed(f):
         t0 = time.perf_counter()
         val = float(f())
@@ -68,6 +70,21 @@ def slope_seconds(build_chained, n: int, trials: int = 3) -> float:
             "(long chain never slower than short chain) — relay too noisy"
         )
     return float(np.median(slopes))
+
+
+def slope_seconds_dynamic(fn, n: int, trials: int = 3) -> float:
+    """`slope_seconds` with ONE compiled executable instead of two.
+
+    `fn(length)` must run `length` chained iterations where `length` is a
+    DYNAMIC value (a `lax.fori_loop` trip count passed in as a device
+    scalar), so the n and 4n chains share a single compilation — halving
+    per-row compile cost vs `slope_seconds`.  Sampling is identical
+    (interleaved pairs, physically-impossible pairs rejected, median).
+    A static-trip-count scan and a dynamic fori_loop both lower to an XLA
+    While with the same body schedule, so the measured slope is
+    equivalent — verified on-chip (BENCHMARK.md round 4).
+    """
+    return _paired_slope(lambda: fn(n), lambda: fn(4 * n), n, trials)
 
 
 def chained_seconds(step_fn, carry, n: int, trials: int = 3) -> float:

@@ -118,7 +118,13 @@ def main():
     steps_filter = None
     if "--steps" in args:
         i = args.index("--steps")
-        steps_filter = int(args[i + 1])
+        if i + 1 >= len(args):
+            sys.exit("usage: collect_proxy_results.py [--steps N] [logs...]")
+        try:
+            steps_filter = int(args[i + 1])
+        except ValueError:
+            sys.exit(f"--steps expects an integer, got {args[i + 1]!r} "
+                     "(usage: collect_proxy_results.py [--steps N] [logs...])")
         del args[i:i + 2]
     paths = args or ["/tmp/proxy_r3/queue.log"]
     runs = load_runs(paths)
@@ -131,6 +137,11 @@ def main():
             continue
         group = det if "heldout_mAP" in r else cls
         group.setdefault(r["variant"], []).append(r)
+    if steps_filter is not None and not det and not cls:
+        sys.exit(
+            f"no runs with steps=={steps_filter} (of {len(runs)} loaded); "
+            "round3_runs.json not written — check the --steps value"
+        )
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
