@@ -70,7 +70,7 @@ BATCH = 32
 CLS_BATCH = 256
 CHAIN = 10  # short chain; the long chain is 4x this
 TRIALS = 3  # median over physically-consistent interleaved pairs
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1680"))
 _T0 = time.monotonic()
 
 # ONE definition of the measurement-critical slope protocol, shared with
@@ -222,17 +222,22 @@ def prep_train(module, variables, y, cbcr, augmented=False, finetune=False):
         # (identical graph, identical FLOPs), only the iterate's norm.
         tx = optax.sgd(1e-5, momentum=0.9, accumulator_dtype="bfloat16")
 
+        # ONE mutable apply recovers the batch statistics exactly: train-mode
+        # BN normalizes by the CURRENT batch stats (running averages never
+        # feed forward), so each update moves toward the same fixed point —
+        # invert the single momentum step (new = m*init + (1-m)*batch, Keras
+        # m=0.99) instead of iterating, saving a second model-sized compile.
         @jax.jit
         def _warm(bs):
-            def body(bs, _):
-                _, mut = module.apply(
-                    {"params": params, "batch_stats": bs},
-                    (y, cbcr), train=True, mutable=["batch_stats"],
-                )
-                return mut["batch_stats"], None
-
-            bs, _ = jax.lax.scan(body, bs, None, length=50)
-            return bs
+            _, mut = module.apply(
+                {"params": params, "batch_stats": bs},
+                (y, cbcr), train=True, mutable=["batch_stats"],
+            )
+            m = 0.99
+            return jax.tree_util.tree_map(
+                lambda new, init: (new - m * init) / (1.0 - m),
+                mut["batch_stats"], bs,
+            )
 
         batch_stats = jax.tree_util.tree_map(
             lambda x: x.block_until_ready(), _warm(batch_stats)
@@ -516,17 +521,24 @@ def main():
     # parallelizes compiles almost perfectly; serially they cost 30-200 s
     # EACH and round 3's driver run timed out).  prepare() includes any
     # setup executions (finetune BN warm-up, int8 calibration).
+    # Submission order puts int8 first (its prepare is the longest serial
+    # chain: quantize calibration + executor build + chain compile — it set
+    # the round-4 critical path); the timing loop below iterates in THIS
+    # list's order, so rows that compile fast are timed first and int8 gets
+    # maximum wait headroom at the end.
     specs = [
         ("train", 1, lambda: prep_train(module, variables, y, cbcr)),
         ("train_finetune", 2,
          lambda: prep_train(module, variables, y, cbcr, finetune=True)),
         ("train_augmented", 1,
          lambda: prep_train(module, variables, y, cbcr, augmented=True)),
-        ("inference_int8", 2,
-         lambda: prep_inference_int8(module, variables, y, cbcr)),
         ("classification", 3, prep_classification),
         ("matmul", 1, prep_matmul),
+        ("inference_int8", 2,
+         lambda: prep_inference_int8(module, variables, y, cbcr)),
     ]
+    submit_order = ["inference_int8", "train", "train_finetune",
+                    "train_augmented", "classification", "matmul"]
 
     def compile_row(prep):
         t0 = time.monotonic()
@@ -534,20 +546,12 @@ def main():
         return units, round(time.monotonic() - t0, 1)
 
     pool = ThreadPoolExecutor(max_workers=6)
-    futures = {name: pool.submit(compile_row, prep)
-               for name, _, prep in specs}
+    by_name = {name: prep for name, _, prep in specs}
+    futures = {name: pool.submit(compile_row, by_name[name])
+               for name in submit_order}
 
     def reprint():
         print(json.dumps(headline), flush=True)
-
-    # Host-only row: no TPU, run while device compiles are in flight.
-    try:
-        bench_packed_pipeline()
-    except Exception as e:  # pragma: no cover - defensive
-        print(json.dumps({"metric": "packed_pipeline_host_throughput",
-                          "error": f"{type(e).__name__}: {e}"[:300]}),
-              flush=True)
-    reprint()
 
     # Phase 2: barrier on the compile pool (budget-bounded), then time each
     # row serially on a quiet chip.  ~10 s of executions per row.
@@ -587,6 +591,17 @@ def main():
                               "elapsed_s": round(_elapsed(), 1)}),
                   flush=True)
         reprint()
+
+    # Host-only row LAST, on a quiet CPU: running it during the compile
+    # barrier depressed it ~3x (tracing threads contend for this box's one
+    # CPU; the driver reads throughput, not schedule).
+    try:
+        bench_packed_pipeline()
+    except Exception as e:  # pragma: no cover - defensive
+        print(json.dumps({"metric": "packed_pipeline_host_throughput",
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+    reprint()
 
     print(json.dumps({"metric": "bench_total_s",
                       "value": round(_elapsed(), 1), "unit": "seconds"}),
