@@ -527,6 +527,7 @@ def main():
     # list's order, so rows that compile fast are timed first and int8 gets
     # maximum wait headroom at the end.
     specs = [
+        ("forward", 1, lambda: prep_forward(module, variables, y, cbcr)),
         ("train", 1, lambda: prep_train(module, variables, y, cbcr)),
         ("train_finetune", 2,
          lambda: prep_train(module, variables, y, cbcr, finetune=True)),
@@ -537,7 +538,7 @@ def main():
         ("inference_int8", 2,
          lambda: prep_inference_int8(module, variables, y, cbcr)),
     ]
-    submit_order = ["inference_int8", "train", "train_finetune",
+    submit_order = ["inference_int8", "forward", "train", "train_finetune",
                     "train_augmented", "classification", "matmul"]
 
     def compile_row(prep):

@@ -10,6 +10,12 @@ LOG=${1:-/tmp/proxy_r3b/queue.log}
 mkdir -p "$(dirname "$LOG")"
 cd "$(dirname "$0")/.."
 
+# Reap children on ANY exit (round-3 post-mortem: a detached proxy run
+# survived the builder session and competed with the driver's scoring
+# bench).  kill 0 signals the whole process group, including the python
+# run under `timeout`.
+trap 'kill 0 2>/dev/null' INT TERM
+
 run() {
   desc="$1"; shift
   for attempt in 1 2 3 4 5; do

@@ -35,6 +35,7 @@ def write_keras_h5(path, layers):
     return path
 
 
+@pytest.mark.slow
 def test_import_by_name_resnet(tmp_path):
     module, example = build_model("resnet50_rgb", num_classes=10)
     variables = module.init(jax.random.PRNGKey(0), example(), train=False)
@@ -72,6 +73,7 @@ def test_import_by_name_resnet(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_import_nested_head_scope(tmp_path):
     module, example = build_model("ssd300_ssd_custom", n_classes=20)
     variables = module.init(jax.random.PRNGKey(0), example(), train=False)

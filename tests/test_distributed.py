@@ -12,6 +12,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "_multihost_worker.py")
 
@@ -22,6 +24,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_training_and_checkpoint(tmp_path):
     port = _free_port()
     ckpt_dir = str(tmp_path / "ckpt")

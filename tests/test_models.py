@@ -111,6 +111,7 @@ def test_ssd_custom_param_names_match_reference():
     assert "conv9_2_mbox_loc" in head
 
 
+@pytest.mark.slow
 def test_identical_family_gradients_flow():
     """Gradient smoke through the DCTStem + identical-EF SSD path."""
     import jax.numpy as jnp
@@ -134,6 +135,7 @@ def test_identical_family_gradients_flow():
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in stem_grads)
 
 
+@pytest.mark.slow
 def test_remat_equivalence():
     """remat=True preserves the param tree, outputs, and gradients."""
     import jax.numpy as jnp

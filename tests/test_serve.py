@@ -52,6 +52,7 @@ def _build(name):
 
 
 class TestFolding:
+    @pytest.mark.slow
     def test_pairs_discovered_ssd_custom(self):
         from jpeg_detection_resnet_ssd_tpu.serve import bn_fold_pairs
 
@@ -166,6 +167,7 @@ class TestExport:
                 np.asarray(loaded(x)), np.asarray(fn(x)), rtol=1e-6
             )
 
+    @pytest.mark.slow
     def test_detector_artifact_end_to_end(self, tmp_path):
         """Full flagship serving export: forward + folded BN + decode,
         reloaded and compared against the in-process inference path."""
@@ -230,6 +232,7 @@ class TestQuantize:
         # and it genuinely differs (int8 ran, not the float path)
         assert np.max(np.abs(got - want)) > 0
 
+    @pytest.mark.slow
     def test_default_skip_keeps_sensitive_layers_float(self):
         from jpeg_detection_resnet_ssd_tpu.serve import quantize_for_serving
 
@@ -278,6 +281,7 @@ class TestQuantize:
         q = quantize_conv_weights(variables, paths, skip=DEFAULT_SKIP)
         assert sorted(q) == ["conv4_1", "fc6", "fc7"]
 
+    @pytest.mark.slow
     def test_quantized_artifact_smaller_and_loadable(self, tmp_path):
         from jpeg_detection_resnet_ssd_tpu.serve import (
             export_serving_artifact,

@@ -259,6 +259,7 @@ def test_freeze_bn_config_plumbs_through():
     ))[0].freeze_bn is False
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     """The driver's dry run: full flagship train step on an 8-device mesh."""
     import __graft_entry__ as ge
@@ -266,6 +267,7 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_in_step_target_encoding(rng):
     """Trainer with target_encoder: raw GT batches produce the same update as
     pre-encoded target batches."""
@@ -330,6 +332,7 @@ def test_in_step_target_encoding(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_in_step_dct_augment_and_encode(rng):
     """augment_fn (DCT crop/flip + GT rewrite) -> target_encoder -> train step,
     all inside one compiled program."""
