@@ -554,9 +554,19 @@ def main():
     def reprint():
         print(json.dumps(headline), flush=True)
 
-    # Phase 2: barrier on the compile pool (budget-bounded), then time each
-    # row serially on a quiet chip.  ~10 s of executions per row.
+    # Phase 2: FULL barrier on the compile pool (budget-bounded), then time
+    # every ready row serially on a quiet chip (~10 s of executions per
+    # row).  Timing a row while other compiles are still in flight on the
+    # relay server measurably depresses it (forward read 8,829 img/s
+    # mid-barrier vs 11,899 on a quiet chip), so no row is timed until the
+    # pool is idle or the budget forces a cut.
     exec_reserve = 15.0 * sum(w for _, w, _ in specs)
+    barrier_deadline = _T0 + BUDGET_S - exec_reserve
+    for f in list(futures.values()):
+        try:
+            f.result(timeout=max(5.0, barrier_deadline - time.monotonic()))
+        except Exception:
+            pass  # per-row handling below reports timeout/error rows
     for name, weight, _ in specs:
         remaining = BUDGET_S - _elapsed()
         wait = max(5.0, remaining - exec_reserve)

@@ -133,6 +133,7 @@ class TestSurgery:
         np.testing.assert_allclose(b2, [0, 2])
 
 
+@pytest.mark.slow
 def test_h5_export_import_roundtrip(tmp_path):
     """Export our params to Keras layout, reimport into a fresh init, and
     check the forward pass is bit-identical."""
@@ -159,6 +160,7 @@ def test_h5_export_import_roundtrip(tmp_path):
     np.testing.assert_allclose(out_loaded, out_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_classification_to_detection_transfer(tmp_path):
     """The reference's transfer story (`training_dct_pascal_j2d_resnet.py:
     137-149`): classification-trained stem weights load by name into the

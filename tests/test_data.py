@@ -644,6 +644,7 @@ class TestPackedDct:
         for img in np.asarray(ia["inputs"], np.uint8):
             assert img.tobytes() in eval_imgs
 
+    @pytest.mark.slow
     def test_classification_augment_v2_shapes(self, rng):
         import jax
         import jax.numpy as jnp

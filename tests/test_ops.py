@@ -647,6 +647,7 @@ class TestMinIoUCrop:
             r = g[b, 0]
             assert 0 <= r[1] < r[3] <= 304 and 0 <= r[2] < r[4] <= 304
 
+    @pytest.mark.slow
     def test_v2_chain_composes_with_encoder(self, rng):
         from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
         from jpeg_detection_resnet_ssd_tpu.models import ssd_predictor_sizes

@@ -137,6 +137,7 @@ def test_layers_conv_pallas_wgrad_wiring():
     assert not layers.pallas_wgrad_enabled()
 
 
+@pytest.mark.slow
 def test_ssd_head_pallas_wgrad_wiring():
     """The fused conf/loc head conv must produce an identical forward and
     matching grads under `layers.pallas_wgrad()` (same param tree: the
