@@ -119,3 +119,45 @@ def test_nonfinite_chain_value_asserts(monkeypatch):
 
     with pytest.raises(AssertionError, match="non-finite"):
         timing.slope_seconds(build, n, trials=2)
+
+
+def test_dynamic_variant_shares_one_callable_and_cancels_fixed_cost(
+    monkeypatch,
+):
+    """`slope_seconds_dynamic(fn, n)` drives ONE callable with the chain
+    length as an argument (the one-executable protocol bench.py uses);
+    same statistics: fixed dispatch cost cancels exactly."""
+    clock = _FakeClock()
+    monkeypatch.setattr(timing.time, "perf_counter", clock)
+    calls = []
+
+    def fn(length):
+        calls.append(length)
+        clock.now += FIXED + length * PER_ITER
+        return 0.0
+
+    n = 10
+    t = timing.slope_seconds_dynamic(fn, n, trials=3)
+    assert t == pytest.approx(PER_ITER, rel=1e-9)
+    # only the two lengths ever run, through the single callable
+    assert set(calls) == {n, 4 * n}
+
+
+def test_dynamic_variant_rejects_impossible_pairs(monkeypatch):
+    clock = _FakeClock()
+    monkeypatch.setattr(timing.time, "perf_counter", clock)
+    n = 10
+    short_t = FIXED + n * PER_ITER
+    long_t = FIXED + 4 * n * PER_ITER
+    # warm-up short, warm-up long, then (short, long) pairs: first pair
+    # corrupt (long returns in the short chain's time), rest honest.
+    script = iter([short_t, long_t,
+                   short_t, short_t,
+                   short_t, long_t, short_t, long_t, short_t, long_t])
+
+    def fn(length):
+        clock.now += next(script)
+        return 0.0
+
+    t = timing.slope_seconds_dynamic(fn, n, trials=3)
+    assert t == pytest.approx(PER_ITER, rel=1e-9)
