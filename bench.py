@@ -93,7 +93,7 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
     return row
 
 
-def _aot(chained, example=None):
+def _aot(chained):
     """AOT-compile a jitted fn of one dynamic int32 scalar (chain length)."""
     import jax
     import jax.numpy as jnp

@@ -269,3 +269,26 @@ def test_validation_fn_and_lr_logging(cls_root, tmp_path):
     assert "val_top1" in history[-1]
     # lr column present and decayed from the base lr
     assert 0 < history[-1]["lr"] < config.learning_rate
+
+
+def test_cli_restart_resumes_latest_run_dir(tmp_path):
+    """CLI `--restart` must reuse the most recent run dir of the same
+    workspace/project (reference `training.py:74-103`) — a fresh dir would
+    silently train from scratch with empty checkpoints/."""
+    from jpeg_detection_resnet_ssd_tpu.cli.main import (
+        _resume_or_create_run_dir,
+    )
+
+    config = make_config(tmp_path)
+    config.restart = False
+    first = _resume_or_create_run_dir(config)
+    assert os.path.isdir(os.path.join(first, "checkpoints"))
+
+    config.restart = True
+    resumed = _resume_or_create_run_dir(config)
+    assert resumed == first
+
+    # no prior run for a different project -> falls back to a new dir
+    config.project = config.project + "_other"
+    fresh = _resume_or_create_run_dir(config)
+    assert fresh != first and os.path.isdir(fresh)
