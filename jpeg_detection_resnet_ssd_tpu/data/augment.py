@@ -55,15 +55,25 @@ def to_3_channels(image):
 
 def brightness_shift(image, delta):
     """Additive brightness in RGB space (`RandomBrightness`, delta in
-    [-32, 32])."""
-    return np.clip(image.astype(np.float32) + delta, 0, 255).astype(np.uint8)
+    [-32, 32]).  Rounds (not truncates) back to uint8, matching the
+    reference's float->uint8 step (`ConvertDataType`,
+    `object_detection_2d_photometric_ops.py:62-88`: `np.round` then astype)
+    — pinned by `tests/test_reference_parity.py`."""
+    return (
+        np.clip(image.astype(np.float32) + delta, 0, 255)
+        .round()
+        .astype(np.uint8)
+    )
 
 
 def contrast_scale(image, factor):
-    """Multiplicative contrast about 127.5 (`Contrast`, `:281`)."""
-    return np.clip(
-        127.5 + factor * (image.astype(np.float32) - 127.5), 0, 255
-    ).astype(np.uint8)
+    """Multiplicative contrast about 127.5 (`Contrast`, `:281`); rounds back
+    to uint8 per the reference's `ConvertDataType` (see brightness_shift)."""
+    return (
+        np.clip(127.5 + factor * (image.astype(np.float32) - 127.5), 0, 255)
+        .round()
+        .astype(np.uint8)
+    )
 
 
 def _rgb_to_hsv(image):
@@ -115,7 +125,7 @@ class SSDPhotometricDistortions:
             hsv = saturation_scale_hsv(hsv, rng.uniform(0.5, 1.5))
         if rng.random() < 0.5:
             hsv = hue_shift_hsv(hsv, rng.uniform(-18, 18))
-        image = _hsv_to_rgb(np.clip(hsv, 0, 255).astype(np.uint8))
+        image = _hsv_to_rgb(np.clip(hsv, 0, 255).round().astype(np.uint8))
         if not early_contrast and rng.random() < 0.5:
             image = contrast_scale(image, rng.uniform(0.5, 1.5))
         return image, labels
@@ -274,7 +284,13 @@ def crop_patch(image, labels, ymin, xmin, height, width,
         labels = labels.astype(np.float32).copy()
         cx = (labels[:, 1] + labels[:, 3]) / 2 - xmin
         cy = (labels[:, 2] + labels[:, 4]) / 2 - ymin
-        keep = (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+        # Upper bound is `<= size - 1`, NOT `< size`: the reference's
+        # center_point BoxFilter (`object_detection_2d_image_boxes_validation
+        # _utils.py:228-232`) keeps centers in [0, size-1] — pinned by
+        # `tests/test_reference_parity.py`.
+        keep = (
+            (cx >= 0) & (cx <= width - 1) & (cy >= 0) & (cy <= height - 1)
+        )
         labels = labels[keep]
         labels[:, [1, 3]] -= xmin
         labels[:, [2, 4]] -= ymin

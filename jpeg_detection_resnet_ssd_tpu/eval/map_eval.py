@@ -23,13 +23,30 @@ from __future__ import annotations
 import numpy as np
 
 
-def _iou_one_to_many(box, boxes, border: str = "include"):
-    d = {"half": 0.0, "include": 1.0, "exclude": -1.0}[border]
+_BORDER_D = {"half": 0.0, "include": 1.0, "exclude": -1.0}
+
+
+def _iou_one_to_many(box, boxes, border: str = "include",
+                     intersection_border: str | None = None):
+    """One-vs-many corner-box IoU.
+
+    `intersection_border` (default: same as `border`) exists to replicate a
+    reference quirk bit-for-bit: `bounding_box_utils.iou` forgets to forward
+    `border_pixels` to `intersection_area_` (`bounding_box_utils.py:348`), so
+    the reference evaluator's 'include' matching actually uses a MIXED
+    formula — box areas with +1, intersection with +0.  The official VOC
+    devkit uses +1 consistently (as does `eval_utils/utils.py:5-35`), so the
+    consistent formula is the default here; pass `intersection_border='half'`
+    for exact parity with `average_precision_evaluator.py` matching
+    (pinned by `tests/test_reference_parity.py`).
+    """
+    d = _BORDER_D[border]
+    di = d if intersection_border is None else _BORDER_D[intersection_border]
     ix = np.maximum(
-        0.0, np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0]) + d
+        0.0, np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0]) + di
     )
     iy = np.maximum(
-        0.0, np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1]) + d
+        0.0, np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1]) + di
     )
     inter = ix * iy
     a = (box[2] - box[0] + d) * (box[3] - box[1] + d)
@@ -58,8 +75,12 @@ def match_predictions(
     matching_iou_threshold: float = 0.5,
     border_pixels: str = "include",
     ignore_neutral: bool = True,
+    intersection_border: str | None = None,
 ):
     """Match per-class prediction lists against GT.
+
+    `intersection_border='half'` reproduces the reference evaluator's mixed
+    IoU formula exactly (see `_iou_one_to_many`).
 
     predictions_per_class: index 1..n_classes of lists of
       (image_id, confidence, xmin, ymin, xmax, ymax).
@@ -98,6 +119,7 @@ def match_predictions(
                 np.array([xmin, ymin, xmax, ymax], np.float64),
                 gt[:, 1:5].astype(np.float64),
                 border_pixels,
+                intersection_border,
             )
             g = int(np.argmax(overlaps))
             if overlaps[g] < matching_iou_threshold:
@@ -215,6 +237,7 @@ class DetectionEvaluator:
         average_precision_mode: str = "integrate",
         num_recall_points: int = 11,
         ignore_neutral: bool = True,
+        intersection_border: str | None = None,
     ):
         """Returns (mAP, per-class APs list indexed 0..n_classes,
         per-class (precisions, recalls))."""
@@ -230,6 +253,7 @@ class DetectionEvaluator:
             matching_iou_threshold,
             border_pixels,
             ignore_neutral,
+            intersection_border,
         )
         aps = [0.0]
         prs = [([], [])]

@@ -1,0 +1,1212 @@
+"""Differential tests against the reference's OWN code under /root/reference.
+
+Every other parity test in this suite checks the jnp implementations against
+hand-written NumPy restatements (`tests/oracles.py`).  A restated oracle can
+share a misreading with the implementation; the genuine artifact cannot.  This
+module imports the reference's actual NumPy/cv2 modules (they run on modern
+NumPy under a 3-line alias shim: np.int/np.float/np.bool) and asserts parity
+on randomized inputs with tight tolerances:
+
+  (a) box math — `bounding_box_utils.{convert_coordinates,intersection_area,
+      iou}`, all modes x coords x border conventions;
+  (b) matching — `matching_utils.{match_bipartite_greedy,match_multi}`;
+  (c) GT encoding — `SSDInputEncoder.__call__` vs `boxes.TargetEncoder`
+      (multi/bipartite, threshold sweeps, no-log variant, full SSD300 scale);
+  (d) decoding — `decode_detections[_fast]` vs `boxes.decode`;
+  (e) evaluation — the main evaluator's match/PR/AP/mAP methods, the
+      predictions-dict evaluator (`average_precision_evaluator_pascal`), and
+      the `eval_utils/utils.py` +1px-IoU AP pipeline;
+  (f) augmentation — op-level (Resize/Flip/CropPad/photometric) with fixed
+      parameters, plus a seeded chain-level distributional check of
+      `SSDDataAugmentation`.
+
+Documented intentional divergences (everything else is exact / eps-tight):
+  * resize box rounding — the reference rounds box coords to integers after
+    `Resize` (`object_detection_2d_geometric_ops.py:89-90`); this build keeps
+    sub-pixel precision.  Tested with |ref - mine| <= 0.5.
+  * no-log background w/h offsets — `ssd_input_encoder_no_log.py:400` leaves
+    background rows with w/h offset = 1/variance (it divides the untouched
+    anchor-ratio 1.0 by the variance); this build zeroes all non-positive
+    offsets.  Loss-neutral (positives-only localization mask); positives
+    compared exactly.
+  * degenerate bipartite rounds — `matching_utils.py:52-79` commits an
+    arbitrary match for a GT row whose every remaining similarity is 0; this
+    build skips such rows.  Unreachable for real boxes (tests use boxes that
+    overlap >= 1 anchor).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference/localisation_part"
+
+# Photometric chain draws (reference Random* ops): delta/factor ranges from
+# `data_augmentation_chain_original_ssd.py:160-164`.
+_BRIGHT_DELTAS = (-32.0, -7.5, 0.0, 12.25, 32.0)
+_CONTRAST_FACTORS = (0.5, 0.77, 1.0, 1.23, 1.5)
+
+
+def _load_reference():
+    """Import the reference's localisation stack with the NumPy alias shim."""
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference tree not available")
+    # Modern-NumPy aliases the reference's Py3.6-era code expects.  Only the
+    # names numpy no longer defines: numpy 2.x still has np.bool (np.bool_),
+    # and overriding it with the builtin breaks np.testing internally.
+    for name, val in (("int", int), ("float", float), ("bool", bool)):
+        if not hasattr(np, name):
+            setattr(np, name, val)
+    if REF_ROOT not in sys.path:
+        # Append (not insert) so nothing in the reference tree can shadow
+        # this repo's modules.
+        sys.path.append(REF_ROOT)
+    ns = types.SimpleNamespace()
+    from bounding_box_utils import bounding_box_utils as bbu
+
+    ns.bbu = bbu
+    from ssd_encoder_decoder import matching_utils
+
+    ns.matching = matching_utils
+    from ssd_encoder_decoder.ssd_input_encoder import (
+        DegenerateBoxError,
+        SSDInputEncoder,
+    )
+
+    ns.SSDInputEncoder = SSDInputEncoder
+    ns.DegenerateBoxError = DegenerateBoxError
+    from ssd_encoder_decoder.ssd_input_encoder_no_log import (
+        SSDInputEncoder as SSDInputEncoderNoLog,
+    )
+
+    ns.SSDInputEncoderNoLog = SSDInputEncoderNoLog
+    from ssd_encoder_decoder import ssd_output_decoder
+
+    ns.decoder = ssd_output_decoder
+    from eval_utils import utils as eval_utils
+
+    ns.eval_utils = eval_utils
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from eval_utils.average_precision_evaluator import (
+            Evaluator as MainEvaluator,
+        )
+
+        ns.MainEvaluator = MainEvaluator
+        import eval_utils.average_precision_evaluator_pascal as pascal_mod
+
+        ns.pascal_mod = pascal_mod
+    from data_generator import object_detection_2d_geometric_ops as geo_ops
+    from data_generator import object_detection_2d_photometric_ops as photo_ops
+    from data_generator import (
+        object_detection_2d_image_boxes_validation_utils as validation,
+    )
+    from data_generator import (
+        object_detection_2d_patch_sampling_ops as patch_ops,
+    )
+    from data_generator import (
+        data_augmentation_chain_original_ssd as ssd_chain,
+    )
+
+    ns.geo_ops = geo_ops
+    ns.photo_ops = photo_ops
+    ns.validation = validation
+    ns.patch_ops = patch_ops
+    ns.ssd_chain = ssd_chain
+    return ns
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _load_reference()
+
+
+def _random_corners(rng, n, lo=0.0, hi=200.0, min_side=2.0, max_side=80.0):
+    xy = rng.uniform(lo, hi, size=(n, 2))
+    wh = rng.uniform(min_side, max_side, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# (a) box math
+# ---------------------------------------------------------------------------
+
+
+class TestBoxMath:
+    def test_convert_coordinates_all_modes(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.boxes import geometry
+
+        corners = _random_corners(rng, 32)
+        centroids = np.concatenate(
+            [rng.uniform(0, 200, (32, 2)), rng.uniform(2, 80, (32, 2))], axis=1
+        )
+        minmax = corners[:, [0, 2, 1, 3]]
+        cases = [
+            ("corners2centroids", corners, "corners", "centroids", True),
+            ("minmax2centroids", minmax, "minmax", "centroids", True),
+            ("centroids2corners", centroids, "centroids", "corners", False),
+            ("centroids2minmax", centroids, "centroids", "minmax", False),
+            ("corners2minmax", corners, "corners", "minmax", False),
+            ("minmax2corners", minmax, "minmax", "corners", False),
+        ]
+        for conv, boxes, src, dst, uses_border in cases:
+            borders = ("half", "include", "exclude") if uses_border else ("half",)
+            for border in borders:
+                expect = ref.bbu.convert_coordinates(
+                    boxes, start_index=0, conversion=conv, border_pixels=border
+                )
+                got = np.asarray(
+                    geometry.convert(boxes, src, dst, border_pixels=border)
+                )
+                np.testing.assert_allclose(
+                    got, expect, rtol=1e-5, atol=1e-4,
+                    err_msg=f"{conv} border={border}",
+                )
+
+    @pytest.mark.parametrize("coords", ["corners", "minmax", "centroids"])
+    @pytest.mark.parametrize("border", ["half", "include", "exclude"])
+    def test_intersection_area_and_iou(self, ref, rng, coords, border):
+        from jpeg_detection_resnet_ssd_tpu.boxes import geometry
+
+        if coords == "centroids":
+            b1 = np.concatenate(
+                [rng.uniform(0, 150, (9, 2)), rng.uniform(3, 70, (9, 2))], axis=1
+            )
+            b2 = np.concatenate(
+                [rng.uniform(0, 150, (13, 2)), rng.uniform(3, 70, (13, 2))],
+                axis=1,
+            )
+        else:
+            b1 = _random_corners(rng, 9, min_side=3)
+            b2 = _random_corners(rng, 13, min_side=3)
+            if coords == "minmax":
+                b1 = b1[:, [0, 2, 1, 3]]
+                b2 = b2[:, [0, 2, 1, 3]]
+        # outer_product
+        expect = ref.bbu.intersection_area(
+            b1, b2, coords=coords, mode="outer_product", border_pixels=border
+        )
+        got = np.asarray(
+            geometry.intersection_area_matrix(b1, b2, coords, border)
+        )
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-3)
+        # IoU: the reference's iou() forgets to forward border_pixels to
+        # intersection_area_ (`bounding_box_utils.py:348`), so for
+        # include/exclude its result is a MIXED formula (areas at d, the
+        # intersection at d=0).  This build's geometry uses d consistently;
+        # reconstruct the mixed formula from this build's primitives and pin
+        # the reference against it (exact parity for 'half', where d=0
+        # anyway).
+        expect = ref.bbu.iou(
+            b1, b2, coords=coords, mode="outer_product", border_pixels=border
+        )
+        inter_mixed = np.asarray(
+            geometry.intersection_area_matrix(b1, b2, coords, "half")
+        )
+        corners1 = np.asarray(geometry._as_corners(b1, coords))
+        corners2 = np.asarray(geometry._as_corners(b2, coords))
+        a1 = np.asarray(geometry.box_area(corners1, border))[:, None]
+        a2 = np.asarray(geometry.box_area(corners2, border))[None, :]
+        mixed = inter_mixed / (a1 + a2 - inter_mixed)
+        np.testing.assert_allclose(mixed, expect, rtol=1e-5, atol=1e-6)
+        if border == "half":
+            got = np.asarray(geometry.iou_matrix(b1, b2, coords, border))
+            np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+        # element-wise over matched leading shape
+        b2e = b2[: b1.shape[0]]
+        expect = ref.bbu.intersection_area(
+            b1, b2e, coords=coords, mode="element-wise", border_pixels=border
+        )
+        got = np.asarray(
+            geometry.intersection_area_elementwise(b1, b2e, coords, border)
+        )
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-3)
+        if border == "half":
+            expect = ref.bbu.iou(
+                b1, b2e, coords=coords, mode="element-wise",
+                border_pixels=border,
+            )
+            got = np.asarray(geometry.iou_elementwise(b1, b2e, coords, border))
+            np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (b) matching
+# ---------------------------------------------------------------------------
+
+
+class TestMatching:
+    def test_bipartite_greedy_randomized(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.boxes import matching
+
+        for _ in range(20):
+            m, n = int(rng.integers(1, 9)), int(rng.integers(16, 48))
+            sims = rng.uniform(0.01, 1.0, size=(m, n))
+            expect = ref.matching.match_bipartite_greedy(sims)
+            got, valid = matching.match_bipartite_greedy(
+                sims.astype(np.float32), np.ones(m, bool)
+            )
+            assert np.asarray(valid).all()
+            np.testing.assert_array_equal(np.asarray(got), expect)
+
+    def test_bipartite_greedy_padded_rows(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.boxes import matching
+
+        m_valid, max_gt, n = 5, 9, 30
+        sims = rng.uniform(0.01, 1.0, size=(max_gt, n))
+        mask = np.zeros(max_gt, bool)
+        mask[:m_valid] = True
+        expect = ref.matching.match_bipartite_greedy(sims[:m_valid])
+        got, _ = matching.match_bipartite_greedy(sims.astype(np.float32), mask)
+        np.testing.assert_array_equal(np.asarray(got)[:m_valid], expect)
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7, 1.1])
+    def test_match_multi(self, ref, rng, threshold):
+        from jpeg_detection_resnet_ssd_tpu.boxes import matching
+
+        sims = rng.uniform(0.0, 1.0, size=(6, 40))
+        gt_exp, anchor_exp = ref.matching.match_multi(sims, threshold)
+        best_gt, matched = matching.match_multi(
+            sims.astype(np.float32), np.ones(6, bool), threshold
+        )
+        anchor_got = np.nonzero(np.asarray(matched))[0]
+        np.testing.assert_array_equal(anchor_got, anchor_exp)
+        np.testing.assert_array_equal(np.asarray(best_gt)[anchor_got], gt_exp)
+
+
+# ---------------------------------------------------------------------------
+# (c) GT encoding
+# ---------------------------------------------------------------------------
+
+_SMALL = dict(
+    img=(100, 100),
+    sizes=((5, 5), (3, 3), (2, 2)),
+    scales=(0.2, 0.45, 0.7, 0.9),
+    ars=((1.0, 2.0, 0.5), (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0), (1.0, 2.0, 0.5)),
+)
+
+
+def _random_gt(rng, n_classes, k, img_h, img_w, min_side=12, max_side=60):
+    xy = rng.uniform(0, (img_w - min_side - 1, img_h - min_side - 1), (k, 2))
+    wh = rng.uniform(min_side, max_side, (k, 2))
+    xmax = np.minimum(xy[:, 0] + wh[:, 0], img_w - 1)
+    ymax = np.minimum(xy[:, 1] + wh[:, 1], img_h - 1)
+    cls = rng.integers(1, n_classes + 1, k).astype(np.float64)
+    return np.stack([cls, xy[:, 0], xy[:, 1], xmax, ymax], axis=1)
+
+
+def _assert_encode_parity_tie_aware(got, expect, mine, labels, pos_iou,
+                                    neg_limit, atol=2e-4, tie_tol=1e-4):
+    """Elementwise parity, tolerating f32-vs-f64 knife-edge flips.
+
+    With random boxes the reference (f64) and this build (f32) can disagree
+    on an anchor's assignment only when the decision sits on a numerical
+    knife edge — two anchors tied for the same GT's bipartite match, or a
+    best-IoU within float noise of a matching threshold.  Any mismatched row
+    must be justified by such a tie (checked in f64), and there may be at
+    most a handful of them."""
+    mismatch = np.abs(got - expect) > atol
+    rows = np.argwhere(mismatch.any(-1))
+    assert len(rows) <= max(2, got.shape[0]), f"{len(rows)} mismatched rows"
+    if not len(rows):
+        return
+    from jpeg_detection_resnet_ssd_tpu.boxes import geometry
+
+    anchors_cent = mine.anchors[:, :4].astype(np.float64)
+    anchors_corners = np.stack(
+        [
+            anchors_cent[:, 0] - anchors_cent[:, 2] / 2,
+            anchors_cent[:, 1] - anchors_cent[:, 3] / 2,
+            anchors_cent[:, 0] + anchors_cent[:, 2] / 2,
+            anchors_cent[:, 1] + anchors_cent[:, 3] / 2,
+        ],
+        axis=1,
+    )
+    img_h, img_w = mine.spec.img_height, mine.spec.img_width
+    for b, a in rows:
+        corners = labels[b][:, 1:5].astype(np.float64) / np.array(
+            [img_w, img_h, img_w, img_h]
+        )
+        inter = np.asarray(
+            geometry.intersection_area_matrix(
+                corners, anchors_corners, "corners", "half"
+            ),
+            np.float64,
+        )
+        area_gt = np.asarray(
+            geometry.box_area(corners, "half"), np.float64
+        )[:, None]
+        area_anchor = np.asarray(
+            geometry.box_area(anchors_corners, "half"), np.float64
+        )[None, :]
+        ious = inter / (area_gt + area_anchor - inter)
+        col_best = ious.max(axis=0)
+        others = np.delete(col_best, a)
+        tie_gap = np.abs(others - col_best[a]).min()
+        thresh_gap = min(
+            abs(col_best[a] - pos_iou), abs(col_best[a] - neg_limit)
+        )
+        assert min(tie_gap, thresh_gap) < tie_tol, (
+            f"non-knife-edge mismatch at batch {b} anchor {a}: "
+            f"best IoU {col_best[a]:.6f}, tie gap {tie_gap:.2e}, "
+            f"threshold gap {thresh_gap:.2e}"
+        )
+
+
+def _build_pair(ref, *, n_classes=4, pos_iou=0.5, neg_limit=0.3,
+                matching_type="multi", log_offsets=True, cfg=_SMALL):
+    from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec, TargetEncoder
+
+    img_h, img_w = cfg["img"]
+    ref_cls = ref.SSDInputEncoder if log_offsets else ref.SSDInputEncoderNoLog
+    ref_enc = ref_cls(
+        img_height=img_h,
+        img_width=img_w,
+        n_classes=n_classes,
+        predictor_sizes=list(cfg["sizes"]),
+        scales=list(cfg["scales"]),
+        aspect_ratios_per_layer=[list(a) for a in cfg["ars"]],
+        two_boxes_for_ar1=True,
+        steps=None,
+        offsets=None,
+        clip_boxes=False,
+        variances=[0.1, 0.1, 0.2, 0.2],
+        matching_type=matching_type,
+        pos_iou_threshold=pos_iou,
+        neg_iou_limit=neg_limit,
+        border_pixels="half",
+        coords="centroids",
+        normalize_coords=True,
+    )
+    spec = AnchorSpec(
+        img_height=img_h,
+        img_width=img_w,
+        scales=cfg["scales"],
+        aspect_ratios=cfg["ars"],
+        steps=None,
+        offsets=None,
+        two_boxes_for_ar1=True,
+        clip_boxes=False,
+        variances=(0.1, 0.1, 0.2, 0.2),
+        normalize_coords=True,
+    )
+    mine = TargetEncoder(
+        spec=spec,
+        predictor_sizes=cfg["sizes"],
+        n_classes=n_classes,
+        pos_iou_threshold=pos_iou,
+        neg_iou_limit=neg_limit,
+        border_pixels="half",
+        matching_type=matching_type,
+        log_scale_offsets=log_offsets,
+    )
+    return ref_enc, mine
+
+
+class TestInputEncoder:
+    def test_anchor_template_parity_small(self, ref):
+        ref_enc, mine = _build_pair(ref)
+        template = ref_enc.generate_encoding_template(batch_size=1)
+        np.testing.assert_allclose(
+            mine.anchors[:, :4], template[0, :, -8:-4], rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            mine.anchors[:, 4:], template[0, :, -4:], rtol=1e-6, atol=1e-7
+        )
+
+    def test_anchor_template_parity_ssd300(self, ref):
+        """Full SSD300-VOC anchor constants (8732 boxes) — pure NumPy on both
+        sides (`ssd_input_encoder.py:420-548` vs `boxes/anchors.py`)."""
+        from jpeg_detection_resnet_ssd_tpu.boxes import AnchorSpec
+        from jpeg_detection_resnet_ssd_tpu.boxes.anchors import (
+            SSD300_ASPECT_RATIOS,
+            SSD300_SCALES_VOC,
+            SSD300_STEPS,
+            build_anchors,
+        )
+
+        sizes = ((38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1))
+        ref_enc = ref.SSDInputEncoder(
+            img_height=300,
+            img_width=300,
+            n_classes=20,
+            predictor_sizes=list(sizes),
+            scales=list(SSD300_SCALES_VOC),
+            aspect_ratios_per_layer=[list(a) for a in SSD300_ASPECT_RATIOS],
+            two_boxes_for_ar1=True,
+            steps=list(SSD300_STEPS),
+            offsets=None,
+            clip_boxes=False,
+            variances=[0.1, 0.1, 0.2, 0.2],
+            normalize_coords=True,
+        )
+        template = ref_enc.generate_encoding_template(batch_size=1)
+        anchors = build_anchors(AnchorSpec(), sizes, coords="centroids")
+        assert anchors.shape[0] == 8732 == template.shape[1]
+        np.testing.assert_allclose(
+            anchors[:, :4], template[0, :, -8:-4], rtol=1e-6, atol=1e-6
+        )
+
+    @pytest.mark.parametrize(
+        "pos_iou,neg_limit,matching_type",
+        [
+            (0.5, 0.3, "multi"),
+            (0.45, 0.3, "multi"),
+            (0.7, 0.5, "multi"),
+            (0.5, 0.3, "bipartite"),
+        ],
+    )
+    def test_encode_parity_randomized(self, ref, pos_iou, neg_limit,
+                                      matching_type):
+        rng = np.random.default_rng(7)
+        n_classes = 4
+        ref_enc, mine = _build_pair(
+            ref, n_classes=n_classes, pos_iou=pos_iou, neg_limit=neg_limit,
+            matching_type=matching_type,
+        )
+        img_h, img_w = _SMALL["img"]
+        labels = [
+            _random_gt(rng, n_classes, int(rng.integers(1, 6)), img_h, img_w)
+            for _ in range(6)
+        ]
+        expect = ref_enc(labels)
+        gt, mask = mine.pad_labels(labels, max_gt=8)
+        got = np.asarray(mine(gt, mask))
+        assert got.shape == expect.shape
+        _assert_encode_parity_tie_aware(
+            got, expect, mine, labels, pos_iou, neg_limit
+        )
+
+    def test_encode_parity_no_log_positives(self, ref):
+        """No-log variant: positives compared exactly; background w/h offset
+        slots differ by design (see module docstring)."""
+        rng = np.random.default_rng(11)
+        n_classes = 4
+        ref_enc, mine = _build_pair(ref, n_classes=n_classes,
+                                    log_offsets=False)
+        img_h, img_w = _SMALL["img"]
+        labels = [
+            _random_gt(rng, n_classes, int(rng.integers(1, 5)), img_h, img_w)
+            for _ in range(4)
+        ]
+        expect = ref_enc(labels)
+        gt, mask = mine.pad_labels(labels, max_gt=8)
+        got = np.asarray(mine(gt, mask))
+        n_total = n_classes + 1
+        # one-hot class columns match everywhere
+        np.testing.assert_allclose(
+            got[..., :n_total], expect[..., :n_total], atol=1e-6
+        )
+        # the documented background divergence: ref w/h slots = 1/variance
+        positive = (expect[..., 1:n_total].sum(-1) > 0) & (
+            expect[..., :n_total].sum(-1) > 0
+        )
+        bg = ~positive
+        np.testing.assert_allclose(
+            expect[..., -10][bg], 1.0 / 0.2, atol=1e-9
+        )
+        np.testing.assert_allclose(got[..., -10][bg], 0.0, atol=0)
+        # positives: all 4 offsets + anchors + variances exact
+        np.testing.assert_allclose(
+            got[..., -12:][positive], expect[..., -12:][positive],
+            rtol=1e-4, atol=2e-4,
+        )
+
+    def test_encode_parity_multibox_overlapping(self, ref):
+        """Many overlapping same/different-class boxes — stresses bipartite
+        column consumption + neutral-zone interactions."""
+        ref_enc, mine = _build_pair(ref)
+        labels = [
+            np.array(
+                [
+                    [1, 10.0, 10.0, 60.0, 60.0],
+                    [2, 14.0, 12.0, 64.0, 58.0],
+                    [1, 20.0, 25.0, 55.0, 75.0],
+                    [3, 30.0, 30.0, 90.0, 90.0],
+                    [4, 32.0, 28.0, 88.0, 92.0],
+                ]
+            )
+        ]
+        expect = ref_enc(labels)
+        gt, mask = mine.pad_labels(labels, max_gt=8)
+        got = np.asarray(mine(gt, mask))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_encode_parity_full_ssd300(self, ref):
+        """Full-scale flagship config: 8732 anchors, 300x300, the exact
+        hyperparameters of `training_dct_pascal_j2d_resnet.py:92-111`."""
+        from jpeg_detection_resnet_ssd_tpu.boxes.anchors import (
+            SSD300_ASPECT_RATIOS,
+            SSD300_SCALES_VOC,
+            SSD300_STEPS,
+        )
+
+        cfg = dict(
+            img=(300, 300),
+            sizes=((38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)),
+            scales=SSD300_SCALES_VOC,
+            ars=SSD300_ASPECT_RATIOS,
+        )
+        ref_enc, mine = _build_pair(ref, n_classes=20, cfg=cfg)
+        # reference wants explicit steps for SSD300; rebuild with them
+        ref_enc = ref.SSDInputEncoder(
+            img_height=300,
+            img_width=300,
+            n_classes=20,
+            predictor_sizes=list(cfg["sizes"]),
+            scales=list(SSD300_SCALES_VOC),
+            aspect_ratios_per_layer=[list(a) for a in SSD300_ASPECT_RATIOS],
+            two_boxes_for_ar1=True,
+            steps=list(SSD300_STEPS),
+            offsets=None,
+            clip_boxes=False,
+            variances=[0.1, 0.1, 0.2, 0.2],
+            matching_type="multi",
+            pos_iou_threshold=0.5,
+            neg_iou_limit=0.3,
+            border_pixels="half",
+            coords="centroids",
+            normalize_coords=True,
+        )
+        from jpeg_detection_resnet_ssd_tpu.boxes import (
+            AnchorSpec,
+            TargetEncoder,
+        )
+
+        mine = TargetEncoder(
+            spec=AnchorSpec(),
+            predictor_sizes=cfg["sizes"],
+            n_classes=20,
+        )
+        rng = np.random.default_rng(3)
+        labels = [
+            _random_gt(rng, 20, int(rng.integers(1, 8)), 300, 300,
+                       min_side=25, max_side=200)
+            for _ in range(2)
+        ]
+        expect = ref_enc(labels)
+        gt, mask = mine.pad_labels(labels, max_gt=16)
+        got = np.asarray(mine(gt, mask))
+        _assert_encode_parity_tie_aware(
+            got, expect, mine, labels, 0.5, 0.3, atol=3e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# (d) decoding
+# ---------------------------------------------------------------------------
+
+
+def _fake_predictions(rng, anchors, n_classes, batch, sharp=6.0):
+    """Raw SSD head output on the reference's (B, n, C+1+12) layout."""
+    n = anchors.shape[0]
+    logits = rng.normal(0.0, 1.0, (batch, n, n_classes + 1))
+    # make a handful of boxes confidently positive per image
+    for b in range(batch):
+        hot = rng.choice(n, size=12, replace=False)
+        logits[b, hot, rng.integers(1, n_classes + 1, 12)] += sharp
+    z = np.exp(logits - logits.max(-1, keepdims=True))
+    scores = z / z.sum(-1, keepdims=True)
+    offsets = rng.uniform(-1.0, 1.0, (batch, n, 4)) * np.array(
+        [0.6, 0.6, 0.4, 0.4]
+    )
+    tiled = np.broadcast_to(anchors, (batch, n, 8))
+    return np.concatenate([scores, offsets, tiled], axis=-1)
+
+
+def _rows_sorted(rows):
+    rows = np.asarray(rows, np.float64).reshape(-1, 6)
+    return rows[np.argsort(-rows[:, 1], kind="stable")]
+
+
+class TestOutputDecoder:
+    @pytest.fixture(scope="class")
+    def small_anchors(self):
+        from jpeg_detection_resnet_ssd_tpu.boxes import (
+            AnchorSpec,
+            build_anchors,
+        )
+
+        spec = AnchorSpec(
+            img_height=_SMALL["img"][0],
+            img_width=_SMALL["img"][1],
+            scales=_SMALL["scales"],
+            aspect_ratios=_SMALL["ars"],
+            steps=None,
+            offsets=None,
+            variances=(0.1, 0.1, 0.2, 0.2),
+            normalize_coords=True,
+        )
+        return build_anchors(spec, _SMALL["sizes"], coords="centroids")
+
+    @pytest.mark.parametrize("conf_thresh,iou_thr", [(0.2, 0.45), (0.4, 0.3)])
+    def test_decode_detections_parity(self, ref, small_anchors, conf_thresh,
+                                      iou_thr):
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections,
+        )
+
+        rng = np.random.default_rng(21)
+        n_classes = 4
+        y_pred = _fake_predictions(rng, small_anchors, n_classes, batch=3)
+        expect = ref.decoder.decode_detections(
+            y_pred,
+            confidence_thresh=conf_thresh,
+            iou_threshold=iou_thr,
+            top_k=50,
+            input_coords="centroids",
+            normalize_coords=True,
+            img_height=100,
+            img_width=100,
+            border_pixels="half",
+        )
+        got = np.asarray(
+            decode_detections(
+                y_pred.astype(np.float32),
+                n_classes=n_classes,
+                confidence_thresh=conf_thresh,
+                iou_threshold=iou_thr,
+                top_k=50,
+                nms_max_output_size=small_anchors.shape[0],
+                normalize_coords=True,
+                img_height=100,
+                img_width=100,
+                border_pixels="half",
+                nms_impl="xla",
+                candidate_selector="exact",
+            )
+        )
+        for b in range(3):
+            mine = _rows_sorted(got[b][got[b][:, 1] > 0])
+            theirs = _rows_sorted(expect[b]) if len(expect[b]) else np.zeros(
+                (0, 6)
+            )
+            assert mine.shape[0] == theirs.shape[0], (
+                f"image {b}: {mine.shape[0]} vs {theirs.shape[0]} detections"
+            )
+            np.testing.assert_array_equal(mine[:, 0], theirs[:, 0])
+            np.testing.assert_allclose(mine[:, 1], theirs[:, 1], atol=1e-5)
+            np.testing.assert_allclose(mine[:, 2:], theirs[:, 2:], atol=2e-2)
+
+    def test_decode_detections_fast_parity(self, ref, small_anchors):
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections_fast,
+        )
+
+        rng = np.random.default_rng(23)
+        n_classes = 4
+        y_pred = _fake_predictions(rng, small_anchors, n_classes, batch=3)
+        expect = ref.decoder.decode_detections_fast(
+            y_pred,
+            confidence_thresh=0.5,
+            iou_threshold=0.45,
+            top_k=50,
+            input_coords="centroids",
+            normalize_coords=True,
+            img_height=100,
+            img_width=100,
+            border_pixels="half",
+        )
+        got = np.asarray(
+            decode_detections_fast(
+                y_pred.astype(np.float32),
+                confidence_thresh=0.5,
+                iou_threshold=0.45,
+                top_k=50,
+                nms_max_output_size=small_anchors.shape[0],
+                normalize_coords=True,
+                img_height=100,
+                img_width=100,
+                border_pixels="half",
+            )
+        )
+        for b in range(3):
+            mine = _rows_sorted(got[b][got[b][:, 1] > 0])
+            theirs = _rows_sorted(expect[b]) if len(expect[b]) else np.zeros(
+                (0, 6)
+            )
+            assert mine.shape[0] == theirs.shape[0]
+            np.testing.assert_array_equal(mine[:, 0], theirs[:, 0])
+            np.testing.assert_allclose(mine[:, 1], theirs[:, 1], atol=1e-5)
+            np.testing.assert_allclose(mine[:, 2:], theirs[:, 2:], atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# (e) evaluation
+# ---------------------------------------------------------------------------
+
+
+def _fabricate_detection_dataset(rng, n_images=10, n_classes=4,
+                                 with_difficult=True):
+    """GT + jittered/duplicate/false-positive predictions, distinct confs."""
+    image_ids = [f"img{i:03d}" for i in range(n_images)]
+    labels, neutral = [], []
+    preds_per_class = [[] for _ in range(n_classes + 1)]
+    for i, image_id in enumerate(image_ids):
+        k = int(rng.integers(1, 5))
+        # integer GT, as the reference's XML parser produces — its
+        # evaluators index arrays with the raw class column
+        gt = np.round(
+            _random_gt(rng, n_classes, k, 300, 300, min_side=30,
+                       max_side=120)
+        ).astype(np.int64)
+        diff = (
+            rng.random(k) < 0.25 if with_difficult else np.zeros(k, bool)
+        )
+        # guarantee at least one non-difficult box per image
+        diff[0] = False
+        labels.append(gt)
+        neutral.append(diff)
+        for j in range(k):
+            cls = int(gt[j, 0])
+            if rng.random() < 0.85:  # a matching detection
+                jitter = rng.uniform(-6, 6, 4)
+                preds_per_class[cls].append(
+                    (image_id, float(rng.uniform(0.3, 0.99)),
+                     *(gt[j, 1:5] + jitter))
+                )
+            if rng.random() < 0.35:  # a duplicate detection
+                jitter = rng.uniform(-9, 9, 4)
+                preds_per_class[cls].append(
+                    (image_id, float(rng.uniform(0.1, 0.95)),
+                     *(gt[j, 1:5] + jitter))
+                )
+    for _ in range(3 * n_images):  # random false positives
+        cls = int(rng.integers(1, n_classes + 1))
+        image_id = image_ids[int(rng.integers(0, n_images))]
+        box = _random_gt(rng, n_classes, 1, 300, 300)[0, 1:5]
+        preds_per_class[cls].append(
+            (image_id, float(rng.uniform(0.05, 0.9)), *box)
+        )
+    return image_ids, labels, neutral, preds_per_class
+
+
+def _my_eval(image_ids, labels, neutral, preds_per_class, n_classes,
+             ignore_neutral, intersection_border=None):
+    from jpeg_detection_resnet_ssd_tpu.eval import (
+        average_precision,
+        match_predictions,
+        num_gt_per_class,
+    )
+    from jpeg_detection_resnet_ssd_tpu.eval.map_eval import precision_recall
+
+    gt = {
+        image_id: (labels[i].astype(np.float64), neutral[i])
+        for i, image_id in enumerate(image_ids)
+    }
+    n_gt = num_gt_per_class(gt, n_classes, ignore_neutral=ignore_neutral)
+    cum_tp, cum_fp = match_predictions(
+        preds_per_class, gt, n_classes,
+        matching_iou_threshold=0.5, border_pixels="include",
+        ignore_neutral=ignore_neutral,
+        intersection_border=intersection_border,
+    )
+    prs, aps_sample, aps_integrate = [([], [])], [0.0], [0.0]
+    for c in range(1, n_classes + 1):
+        prec, rec = precision_recall(cum_tp[c], cum_fp[c], int(n_gt[c]))
+        prs.append((prec, rec))
+        aps_sample.append(average_precision(prec, rec, "sample", 11))
+        aps_integrate.append(average_precision(prec, rec, "integrate"))
+    return n_gt, cum_tp, cum_fp, prs, aps_sample, aps_integrate
+
+
+class TestMainEvaluator:
+    def test_match_pr_ap_map_parity(self, ref):
+        """The main evaluator's match/PR/AP/mAP methods
+        (`average_precision_evaluator.py:570-947`) vs `eval/map_eval` on a
+        fabricated prediction set with difficult GT boxes."""
+        rng = np.random.default_rng(31)
+        n_classes = 4
+        image_ids, labels, neutral, preds = _fabricate_detection_dataset(
+            rng, n_images=12, n_classes=n_classes, with_difficult=True
+        )
+        fake_gen = types.SimpleNamespace(
+            labels=labels,
+            image_ids=image_ids,
+            eval_neutral=[n.tolist() for n in neutral],
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ev = ref.MainEvaluator(
+                model=None, n_classes=n_classes, data_generator=fake_gen,
+                model_mode="inference",
+            )
+        ev.prediction_results = preds
+        ev.get_num_gt_per_class(ignore_neutral_boxes=True, verbose=False)
+        # verbose=True is REQUIRED for correctness: the reference's
+        # verbose=False branch iterates `range(len(predictions.shape))` — a
+        # bug that matches only the first prediction per class
+        # (`average_precision_evaluator.py:685-688`).
+        ev.match_predictions(
+            ignore_neutral_boxes=True, matching_iou_threshold=0.5,
+            border_pixels="include", verbose=True,
+        )
+        ev.compute_precision_recall(verbose=False)
+        ref_aps_sample = list(
+            ev.compute_average_precisions(mode="sample", num_recall_points=11,
+                                          verbose=False, ret=True)
+        )
+        ref_map_sample = ev.compute_mean_average_precision(ret=True)
+        ref_aps_integrate = list(
+            ev.compute_average_precisions(mode="integrate", verbose=False,
+                                          ret=True)
+        )
+        ref_map_integrate = ev.compute_mean_average_precision(ret=True)
+
+        # intersection_border='half' replicates the reference's mixed-IoU
+        # matching (`bounding_box_utils.py:348` quirk) bit-for-bit
+        n_gt, cum_tp, cum_fp, prs, aps_sample, aps_integrate = _my_eval(
+            image_ids, labels, neutral, preds, n_classes, ignore_neutral=True,
+            intersection_border="half",
+        )
+        np.testing.assert_array_equal(n_gt, ev.num_gt_per_class)
+        for c in range(1, n_classes + 1):
+            np.testing.assert_array_equal(
+                cum_tp[c], ev.cumulative_true_positives[c]
+            )
+            np.testing.assert_array_equal(
+                cum_fp[c], ev.cumulative_false_positives[c]
+            )
+            np.testing.assert_allclose(
+                prs[c][0], ev.cumulative_precisions[c], atol=1e-12
+            )
+            np.testing.assert_allclose(
+                prs[c][1], ev.cumulative_recalls[c], atol=1e-12
+            )
+        np.testing.assert_allclose(aps_sample[1:], ref_aps_sample[1:],
+                                   atol=1e-12)
+        np.testing.assert_allclose(aps_integrate[1:], ref_aps_integrate[1:],
+                                   atol=1e-12)
+        assert abs(np.mean(aps_sample[1:]) - ref_map_sample) < 1e-12
+        assert abs(np.mean(aps_integrate[1:]) - ref_map_integrate) < 1e-12
+
+    def test_predictions_dict_evaluator_parity(self, ref):
+        """`average_precision_evaluator_pascal.Evaluator` — the model-free
+        variant.  Its `match_predictions` reads the gt-format indices from
+        free module-level names (`:236,248`), so the test injects them (the
+        standard (class, xmin, ymin, xmax, ymax) layout)."""
+        rng = np.random.default_rng(37)
+        n_classes = 4
+        image_ids, labels, neutral, preds = _fabricate_detection_dataset(
+            rng, n_images=10, n_classes=n_classes, with_difficult=False
+        )
+        for name, idx in [("class_id_gt", 0), ("xmin_gt", 1), ("ymin_gt", 2),
+                          ("xmax_gt", 3), ("ymax_gt", 4)]:
+            setattr(ref.pascal_mod, name, idx)
+        fake_gen = types.SimpleNamespace(
+            labels=labels, image_ids=image_ids, eval_neutral=None
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ev = ref.pascal_mod.Evaluator(
+                n_classes=n_classes, data_generator=fake_gen,
+                predictions=preds,
+            )
+        ev.predictions = preds
+        ev.get_num_gt_per_class()
+        # verbose=True required — same `len(predictions.shape)` bug as the
+        # main evaluator (see test_match_pr_ap_map_parity)
+        ev.match_predictions(
+            ignore_neutral_boxes=True, matching_iou_threshold=0.5,
+            border_pixels="include", verbose=True,
+        )
+        ev.compute_precision_recall()
+        ref_aps = ev.compute_average_precisions(mode="integrate")
+
+        n_gt, cum_tp, cum_fp, prs, _, aps_integrate = _my_eval(
+            image_ids, labels, neutral, preds, n_classes,
+            ignore_neutral=False, intersection_border="half",
+        )
+        np.testing.assert_array_equal(n_gt, ev.num_gt_per_class)
+        for c in range(1, n_classes + 1):
+            np.testing.assert_array_equal(
+                cum_tp[c], ev.cumulative_true_positives[c]
+            )
+            np.testing.assert_array_equal(
+                cum_fp[c], ev.cumulative_false_positives[c]
+            )
+        np.testing.assert_allclose(aps_integrate[1:], ref_aps[1:], atol=1e-12)
+
+
+class TestEvalUtils:
+    def test_plus_one_iou_parity(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.eval.map_eval import (
+            _iou_one_to_many,
+        )
+
+        box = _random_corners(rng, 1)[0]
+        boxes = _random_corners(rng, 24)
+        expect = ref.eval_utils.iou(box, boxes)
+        got = _iou_one_to_many(box, boxes, border="include")
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+
+    def test_ap_sample_parity_on_pr_arrays(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.eval import average_precision
+
+        for _ in range(5):
+            n = int(rng.integers(5, 40))
+            tp = rng.integers(0, 2, n)
+            cum_tp = np.cumsum(tp)
+            cum_fp = np.cumsum(1 - tp)
+            n_gt = int(cum_tp[-1] + rng.integers(0, 4))
+            recall = cum_tp / max(n_gt, 1)
+            precision = cum_tp / (cum_tp + cum_fp)
+            expect = ref.eval_utils.compute_average_precision_sample(
+                recall, precision, 11
+            )
+            got = average_precision(precision, recall, "sample", 11)
+            assert abs(got - expect) < 1e-12
+
+    def test_ap_integrate_utils_off_by_one_documented(self, ref, rng):
+        """`eval_utils/utils.py:196` loops `range(len-2, 0, -1)`, skipping the
+        FIRST recall segment — an off-by-one vs the main evaluator's
+        `range(len-2, -1, -1)` (`average_precision_evaluator.py:887`).  This
+        build follows the main evaluator; the difference is exactly the first
+        rectangle's area."""
+        from jpeg_detection_resnet_ssd_tpu.eval import average_precision
+
+        tp = np.random.default_rng(5).integers(0, 2, 30)
+        cum_tp = np.cumsum(tp)
+        cum_fp = np.cumsum(1 - tp)
+        recall = cum_tp / max(int(cum_tp[-1]), 1)
+        precision = cum_tp / (cum_tp + cum_fp)
+        expect_skip = ref.eval_utils.compute_average_precision_integrate(
+            recall, precision
+        )
+        got = average_precision(precision, recall, "integrate")
+        uniq, idx = np.unique(recall, return_index=True)
+        max_prec = np.zeros_like(uniq)
+        for i in range(len(uniq) - 2, -1, -1):
+            max_prec[i] = max(
+                precision[idx[i]: idx[i + 1]].max(), max_prec[i + 1]
+            )
+        first_rect = max_prec[0] * (uniq[1] - uniq[0])
+        assert abs(got - (expect_skip + first_rect)) < 1e-12
+
+    def test_compute_average_precisions_pipeline_parity(self, ref):
+        """`eval_utils/utils.py` full pipeline (match_boxes ->
+        compute_true_false_positives -> compute_recall_precision -> sample AP)
+        vs `eval/map_eval` on a no-difficult dataset (their per-image-then-
+        pool matching equals the global conf-sorted greedy when confidences
+        are distinct)."""
+        rng = np.random.default_rng(41)
+        n_classes = 3
+        image_ids, labels, neutral, preds_per_class = (
+            _fabricate_detection_dataset(
+                rng, n_images=8, n_classes=n_classes, with_difficult=False
+            )
+        )
+        # reshape into the utils.py per-image format
+        preds_per_image = [[] for _ in image_ids]
+        index = {image_id: i for i, image_id in enumerate(image_ids)}
+        for cls in range(1, n_classes + 1):
+            for image_id, conf, x1, y1, x2, y2 in preds_per_class[cls]:
+                preds_per_image[index[image_id]].append(
+                    [cls, conf, x1, y1, x2, y2]
+                )
+        gt_per_image = [
+            [[int(row[0]), *row[1:5], 0] for row in labels[i]]
+            for i in range(len(image_ids))
+        ]
+        ref_aps = ref.eval_utils.compute_average_precisions(
+            preds_per_image, gt_per_image, n_classes, mode="sample",
+            num_recall_points=11,
+        )
+        _, _, _, _, aps_sample, _ = _my_eval(
+            image_ids, labels, neutral, preds_per_class, n_classes,
+            ignore_neutral=False,
+        )
+        np.testing.assert_allclose(aps_sample[1:], ref_aps, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# (f) augmentation
+# ---------------------------------------------------------------------------
+
+
+def _test_image(rng, h=123, w=177):
+    x = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+    y = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+    base = (x + y) / 2 + rng.normal(0, 24, (h, w, 3))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+class TestAugmentationOps:
+    def test_resize_parity_all_interps(self, ref, rng):
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.data.augment import resize
+
+        img = _test_image(rng)
+        labels = np.array(
+            [[1, 10.0, 12.0, 80.0, 90.0], [2, 40.0, 5.0, 150.0, 110.0]]
+        )
+        for interp in [cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_CUBIC,
+                       cv2.INTER_AREA, cv2.INTER_LANCZOS4]:
+            op = ref.geo_ops.Resize(height=200, width=260,
+                                    interpolation_mode=interp)
+            exp_img, exp_labels, exp_inv = op(
+                img, labels.copy(), return_inverter=True
+            )
+            got_img, got_labels, got_inv = resize(
+                img, labels.copy(), 200, 260, interpolation=interp,
+                filter_degenerate=False, return_inverter=True,
+            )
+            np.testing.assert_array_equal(got_img, exp_img)
+            # ref rounds box coords; this build keeps sub-pixel precision
+            assert np.abs(got_labels - exp_labels).max() <= 0.5 + 1e-6
+            fake_preds = np.array([[1, 0.9, 30.0, 40.0, 120.0, 160.0]])
+            np.testing.assert_allclose(
+                got_inv(fake_preds.copy()), exp_inv(fake_preds.copy()),
+                atol=0.5 + 1e-6,
+            )
+
+    def test_flip_parity(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            horizontal_flip,
+            vertical_flip,
+        )
+
+        img = _test_image(rng)
+        labels = np.array([[1, 10.0, 12.0, 80.0, 90.0]])
+        for dim, mine in [("horizontal", horizontal_flip),
+                          ("vertical", vertical_flip)]:
+            op = ref.geo_ops.Flip(dim=dim)
+            exp_img, exp_labels = op(img, labels.copy())
+            got_img, got_labels = mine(img, labels.copy())
+            np.testing.assert_array_equal(got_img, exp_img)
+            np.testing.assert_allclose(got_labels, exp_labels, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "patch", [(10, 20, 80, 90), (-20, -30, 150, 160), (40, -10, 100, 80)]
+    )
+    def test_crop_pad_parity(self, ref, rng, patch):
+        """`CropPad` + center_point `BoxFilter` (the SSD chain's crop/expand
+        primitive) vs `crop_patch` — exact image and label parity, including
+        padding (negative offsets) and the <= size-1 center bound."""
+        from jpeg_detection_resnet_ssd_tpu.data.augment import crop_patch
+
+        ymin, xmin, ph, pw = patch
+        img = _test_image(rng, h=100, w=120)
+        labels = np.array(
+            [
+                [1, 5.0, 5.0, 40.0, 35.0],
+                [2, 60.0, 50.0, 115.0, 95.0],
+                [3, 25.0, 60.0, 70.0, 99.0],
+                [4, 0.0, 0.0, 119.0, 99.0],
+            ]
+        )
+        bf = ref.validation.BoxFilter(
+            check_overlap=True, check_min_area=False, check_degenerate=True,
+            overlap_criterion="center_point",
+        )
+        op = ref.patch_ops.CropPad(
+            patch_ymin=ymin, patch_xmin=xmin, patch_height=ph, patch_width=pw,
+            clip_boxes=True, box_filter=bf, background=(123, 117, 104),
+        )
+        exp_img, exp_labels = op(img, labels.copy())
+        got_img, got_labels = crop_patch(
+            img, labels.copy(), ymin, xmin, ph, pw,
+            background=(123, 117, 104), clip_boxes=True,
+        )
+        np.testing.assert_array_equal(got_img, exp_img)
+        np.testing.assert_allclose(got_labels, exp_labels, atol=1e-6)
+
+    def test_brightness_contrast_parity(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            brightness_shift,
+            contrast_scale,
+        )
+
+        img = _test_image(rng)
+        to_f32 = ref.photo_ops.ConvertDataType(to="float32")
+        to_u8 = ref.photo_ops.ConvertDataType(to="uint8")
+        for delta in _BRIGHT_DELTAS:
+            expect = to_u8(ref.photo_ops.Brightness(delta=delta)(to_f32(img)))
+            np.testing.assert_array_equal(brightness_shift(img, delta), expect)
+        for factor in _CONTRAST_FACTORS:
+            expect = to_u8(ref.photo_ops.Contrast(factor=factor)(to_f32(img)))
+            np.testing.assert_array_equal(contrast_scale(img, factor), expect)
+
+    def test_hue_saturation_parity(self, ref, rng):
+        import cv2
+
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            hue_shift_hsv,
+            saturation_scale_hsv,
+        )
+
+        hsv = cv2.cvtColor(_test_image(rng), cv2.COLOR_RGB2HSV).astype(
+            np.float32
+        )
+        for delta in (-18.0, -4.5, 7.0, 18.0):
+            expect = ref.photo_ops.Hue(delta=delta)(hsv.copy())
+            np.testing.assert_allclose(
+                hue_shift_hsv(hsv, delta), expect, atol=1e-4
+            )
+        for factor in (0.5, 0.9, 1.5):
+            expect = ref.photo_ops.Saturation(factor=factor)(hsv.copy())
+            np.testing.assert_allclose(
+                saturation_scale_hsv(hsv, factor), expect, atol=1e-4
+            )
+
+    def test_convert_to_3_channels_parity(self, ref, rng):
+        from jpeg_detection_resnet_ssd_tpu.data.augment import to_3_channels
+
+        op = ref.photo_ops.ConvertTo3Channels()
+        gray = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+        np.testing.assert_array_equal(to_3_channels(gray), op(gray))
+        one = gray[..., None]
+        np.testing.assert_array_equal(to_3_channels(one), op(one))
+        four = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(to_3_channels(four), op(four))
+
+    @pytest.mark.slow
+    def test_ssd_chain_distributional_parity(self, ref):
+        """Seeded chain-level sanity: the reference's `SSDDataAugmentation`
+        (`data_augmentation_chain_original_ssd.py:208-280`, global np.random)
+        vs this build's chain (explicit Generator) produce statistically
+        similar outputs over 40 seeds — same output geometry, in-bounds
+        boxes, close pixel means and box-survival rates."""
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            SSDDataAugmentation,
+        )
+
+        img = _test_image(np.random.default_rng(0), h=200, w=260)
+        labels = np.array(
+            [
+                [1, 20.0, 30.0, 120.0, 150.0],
+                [2, 90.0, 60.0, 220.0, 180.0],
+                [3, 150.0, 10.0, 250.0, 90.0],
+            ]
+        )
+        ref_chain = ref.ssd_chain.SSDDataAugmentation(img_height=300,
+                                                      img_width=300)
+        my_chain = SSDDataAugmentation(img_height=300, img_width=300)
+        ref_means, ref_counts, my_means, my_counts = [], [], [], []
+        for seed in range(40):
+            np.random.seed(seed)
+            r_img, r_labels = ref_chain(img.copy(), labels.copy())
+            assert r_img.shape == (300, 300, 3)
+            ref_means.append(float(r_img.mean()))
+            ref_counts.append(len(r_labels))
+            m_img, m_labels = my_chain(
+                img.copy(), labels.copy(), np.random.default_rng(seed)
+            )
+            assert m_img.shape == (300, 300, 3)
+            if len(m_labels):
+                assert m_labels[:, 1:].min() >= -1e-3
+                assert m_labels[:, [1, 3]].max() <= 300 + 1e-3
+                assert m_labels[:, [2, 4]].max() <= 300 + 1e-3
+                assert set(np.unique(m_labels[:, 0])) <= {1.0, 2.0, 3.0}
+            my_means.append(float(m_img.mean()))
+            my_counts.append(len(m_labels))
+        assert abs(np.mean(ref_means) - np.mean(my_means)) < 25.0
+        assert abs(np.mean(ref_counts) - np.mean(my_counts)) < 1.0
