@@ -60,6 +60,7 @@ import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 
 import numpy as np
 
@@ -173,6 +174,39 @@ def prep_matmul():
              note="achievable chip peak; v5e nominal bf16 is ~197")
 
     return [("matmul_calibration_bf16", _aot(chained), 50, report)]
+
+
+def prep_hbm():
+    """HBM-bandwidth canary: a large streaming axpy chained under the same
+    slope protocol as every other row.  Gives the roofline's BYTES
+    denominator a measured value (the FLOPs denominator is prep_matmul) —
+    BENCHMARK.md's bandwidth-bound claims divide by THIS number, not the
+    v5e's nominal 819 GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 26  # 64M f32 = 256 MiB buffer
+    bytes_per_iter = 2 * n * 4  # read carry + write carry
+
+    @jax.jit
+    def chained(length):
+        # Per iteration the body reads the full carry and writes it back —
+        # exactly 8 bytes/element, nothing else.  (An earlier axpy variant
+        # with an iota-generated second operand measured an impossible
+        # 983 GB/s: XLA fuses iota into the body, so the second "read" was
+        # free — the accounting here is deliberately un-fuseable.)  The
+        # one-time iota init is outside the loop and cancels in the slope.
+        c0 = jnp.arange(n, dtype=jnp.float32) * jnp.float32(1e-8)
+        out = jax.lax.fori_loop(
+            0, length, lambda i, c: c * jnp.float32(0.9999), c0
+        )
+        return out[:: 1 << 20].sum().astype(jnp.float32)
+
+    def report(t):
+        emit("hbm_bandwidth_calibration", bytes_per_iter / t / 1e9, "GB/s",
+             note="streaming scale slope (8 B/elem/iter); v5e nominal 819")
+
+    return [("hbm_bandwidth_calibration", _aot(chained), 10, report)]
 
 
 def prep_forward(module, variables, y, cbcr):
@@ -526,28 +560,37 @@ def main():
     # the round-4 critical path); the timing loop below iterates in THIS
     # list's order, so rows that compile fast are timed first and int8 gets
     # maximum wait headroom at the end.
+    # (spec name, exec-time weight, metric names the spec produces, prep);
+    # the metric-name list exists so skip/error rows can be emitted under
+    # the SAME names successful rows use — a consumer keying on metric
+    # names can then associate a skip with its missing metric.
     specs = [
-        ("forward", 1, lambda: prep_forward(module, variables, y, cbcr)),
-        ("train", 1, lambda: prep_train(module, variables, y, cbcr)),
-        ("train_finetune", 2,
+        ("forward", 1, ["dct_ssd300_forward_throughput"],
+         lambda: prep_forward(module, variables, y, cbcr)),
+        ("train", 1, ["dct_ssd300_train_step_throughput"],
+         lambda: prep_train(module, variables, y, cbcr)),
+        ("train_finetune", 2, ["dct_ssd300_train_finetune_throughput"],
          lambda: prep_train(module, variables, y, cbcr, finetune=True)),
-        ("train_augmented", 1,
+        ("train_augmented", 1, ["dct_ssd300_train_augmented_throughput"],
          lambda: prep_train(module, variables, y, cbcr, augmented=True)),
-        ("classification", 3, prep_classification),
-        ("matmul", 1, prep_matmul),
-        ("inference_int8", 2,
+        ("classification", 3,
+         ["resnet50_dct_forward_throughput",
+          "resnet50_dct_train_step_throughput"], prep_classification),
+        ("matmul", 1, ["matmul_calibration_bf16"], prep_matmul),
+        ("hbm", 1, ["hbm_bandwidth_calibration"], prep_hbm),
+        ("inference_int8", 2, ["dct_ssd300_inference_int8_throughput"],
          lambda: prep_inference_int8(module, variables, y, cbcr)),
     ]
     submit_order = ["inference_int8", "forward", "train", "train_finetune",
-                    "train_augmented", "classification", "matmul"]
+                    "train_augmented", "classification", "matmul", "hbm"]
 
     def compile_row(prep):
         t0 = time.monotonic()
         units = prep()
         return units, round(time.monotonic() - t0, 1)
 
-    pool = ThreadPoolExecutor(max_workers=6)
-    by_name = {name: prep for name, _, prep in specs}
+    pool = ThreadPoolExecutor(max_workers=7)
+    by_name = {name: prep for name, _, _, prep in specs}
     futures = {name: pool.submit(compile_row, by_name[name])
                for name in submit_order}
 
@@ -560,32 +603,43 @@ def main():
     # relay server measurably depresses it (forward read 8,829 img/s
     # mid-barrier vs 11,899 on a quiet chip), so no row is timed until the
     # pool is idle or the budget forces a cut.
-    exec_reserve = 15.0 * sum(w for _, w, _ in specs)
+    exec_reserve = 15.0 * sum(w for _, w, _, _ in specs)
     barrier_deadline = _T0 + BUDGET_S - exec_reserve
     for f in list(futures.values()):
         try:
             f.result(timeout=max(5.0, barrier_deadline - time.monotonic()))
         except Exception:
             pass  # per-row handling below reports timeout/error rows
-    for name, weight, _ in specs:
+    for name, weight, metric_names, _ in specs:
         remaining = BUDGET_S - _elapsed()
         wait = max(5.0, remaining - exec_reserve)
         try:
             units, compile_s = futures[name].result(timeout=wait)
-        except TimeoutError:
-            print(json.dumps({"metric": name, "skipped": True,
-                              "reason": f"compile not done within budget "
-                                        f"({remaining:.0f}s left)"}),
-                  flush=True)
+        except (TimeoutError, FuturesTimeoutError):
+            # builtin TimeoutError aliases concurrent.futures.TimeoutError
+            # only on Python >= 3.11; catch both for the 3.10 floor.
+            for metric in metric_names:
+                print(json.dumps({"metric": metric, "skipped": True,
+                                  "reason": f"compile not done within budget "
+                                            f"({remaining:.0f}s left)"}),
+                      flush=True)
             reprint()
             continue
         except Exception as e:  # pragma: no cover - defensive
-            print(json.dumps({"metric": name,
-                              "error": f"{type(e).__name__}: {e}"[:300]}),
-                  flush=True)
+            for metric in metric_names:
+                print(json.dumps({"metric": metric,
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
             reprint()
             continue
         for sublabel, fn, n, report in units:
+            # A budget-skipped row leaves its compile thread running on the
+            # relay; timing while a compile is in flight measurably
+            # depresses samples (~26% on forward, see module docstring).
+            # Flag such samples so depressed numbers are identifiable.
+            in_flight = sorted(
+                nm for nm, fut in futures.items() if not fut.done()
+            )
             t0 = time.monotonic()
             try:
                 t = slope_seconds_dynamic(fn, n, trials=TRIALS)
@@ -596,11 +650,13 @@ def main():
                                   "compile_s": compile_s}),
                       flush=True)
                 continue
-            print(json.dumps({"metric": sublabel + "__telemetry",
-                              "compile_s": compile_s,
-                              "measure_s": round(time.monotonic() - t0, 1),
-                              "elapsed_s": round(_elapsed(), 1)}),
-                  flush=True)
+            telemetry = {"metric": sublabel + "__telemetry",
+                         "compile_s": compile_s,
+                         "measure_s": round(time.monotonic() - t0, 1),
+                         "elapsed_s": round(_elapsed(), 1)}
+            if in_flight:
+                telemetry["compiles_in_flight"] = in_flight
+            print(json.dumps(telemetry), flush=True)
         reprint()
 
     # Host-only row LAST, on a quiet CPU: running it during the compile

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import re
 import secrets
 from typing import Any
 
@@ -123,10 +124,17 @@ def find_latest_run(config: ExperimentConfig) -> str | None:
     base = config.output_dir
     if not os.path.isdir(base):
         return None
+    # Anchor the match to the full dir shape ({prefix}{32-hex-key}, the
+    # create_run_dir format): a raw prefix match would let a project whose
+    # name is a proper prefix of another (e.g. `jpeg` vs `jpeg_dct`) resume
+    # a FOREIGN run and restore against a mismatched param tree.
+    key_re = re.compile(r"^[0-9a-f]{32}$")
     candidates = [
         os.path.join(base, d)
         for d in os.listdir(base)
-        if d.startswith(prefix) and os.path.isdir(os.path.join(base, d))
+        if d.startswith(prefix)
+        and key_re.match(d[len(prefix):])
+        and os.path.isdir(os.path.join(base, d))
     ]
     if not candidates:
         return None

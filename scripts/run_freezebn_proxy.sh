@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 # survived the builder session and competed with the driver's scoring
 # bench).  kill 0 signals the whole process group, including the python
 # run under `timeout`.
-trap 'kill 0 2>/dev/null' INT TERM
+trap 'trap - INT TERM; kill 0 2>/dev/null' INT TERM
 
 run() {
   desc="$1"; shift
