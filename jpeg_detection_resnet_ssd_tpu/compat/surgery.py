@@ -56,7 +56,15 @@ def sample_tensors(
                 if chosen_per_axis[axis] is not None:
                     idx = chosen_per_axis[axis]
                 elif target < cur:
-                    idx = np.sort(rng.choice(cur, target, replace=False))
+                    # Always keep index 0 — the background class — and
+                    # sample the rest, as the reference does
+                    # (`tensor_sampling_utils.py:118-122`): a class-head
+                    # transplant must never drop the background column.
+                    rest = np.sort(
+                        rng.choice(np.arange(1, cur), target - 1,
+                                   replace=False)
+                    )
+                    idx = np.concatenate([np.zeros(1, np.int64), rest])
                 else:
                     idx = None  # upsample
                 if idx is None:

@@ -612,30 +612,54 @@ def grayscale(rgb):
     return rgb.dot([0.299, 0.587, 0.114])
 
 
-def cls_saturation(rgb, rng, var=0.5):
+# Deterministic cores (parameter injected) + drawing wrappers.  The cores
+# exist so `tests/test_reference_parity.py` can pin them against the
+# reference's own `helper.py` functions with the random draw held fixed.
+# alpha distribution parity: the reference draws `2*U(0,1)*var + 1 - var`
+# (`helper.py:18-19`) == 1 + U(-var, var), which is what the wrappers draw.
+# (Reference quirk, not replicated: its `brightness` offsets by
+# `1 - saturation_var` rather than `1 - brightness_var` (`helper.py:26`) —
+# identical at the only var ever used, 0.5.)
+
+
+def cls_saturation_core(rgb, alpha):
     gs = grayscale(rgb)
-    alpha = 1.0 + rng.uniform(-var, var)
     out = rgb * alpha + (1 - alpha) * gs[:, :, None]
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def cls_brightness(rgb, rng, var=0.5):
-    alpha = 1.0 + rng.uniform(-var, var)
+def cls_saturation(rgb, rng, var=0.5):
+    return cls_saturation_core(rgb, 1.0 + rng.uniform(-var, var))
+
+
+def cls_brightness_core(rgb, alpha):
     return np.clip(rgb * alpha, 0, 255).astype(np.uint8)
 
 
-def cls_contrast(rgb, rng, var=0.5):
+def cls_brightness(rgb, rng, var=0.5):
+    return cls_brightness_core(rgb, 1.0 + rng.uniform(-var, var))
+
+
+def cls_contrast_core(rgb, alpha):
     gs = grayscale(rgb).mean() * np.ones_like(rgb, dtype=np.float64)
-    alpha = 1.0 + rng.uniform(-var, var)
     return np.clip(rgb * alpha + (1 - alpha) * gs, 0, 255).astype(np.uint8)
+
+
+def cls_contrast(rgb, rng, var=0.5):
+    return cls_contrast_core(rgb, 1.0 + rng.uniform(-var, var))
+
+
+def cls_lighting_core(img, noise3):
+    """AlexNet-style PCA color shift with the 3-vector draw injected."""
+    cov = np.cov(img.reshape(-1, 3) / 255.0, rowvar=False)
+    eigval, eigvec = np.linalg.eigh(cov)
+    noise = eigvec.dot(eigval * noise3) * 255
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
 def cls_lighting(img, rng, std=0.5):
     """AlexNet-style PCA color augmentation (`helper.py:39-45`)."""
-    cov = np.cov(img.reshape(-1, 3) / 255.0, rowvar=False)
-    eigval, eigvec = np.linalg.eigh(cov)
-    noise = eigvec.dot(eigval * rng.normal(0, std, 3)) * 255
-    return np.clip(img + noise, 0, 255).astype(np.uint8)
+    return cls_lighting_core(img, rng.normal(0, std, 3))
 
 
 CLASSIFICATION_TRANSFORMS = (cls_lighting, cls_contrast, cls_brightness,

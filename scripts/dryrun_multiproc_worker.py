@@ -22,6 +22,16 @@ jax.config.update("jax_num_cpu_devices", 4)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from jpeg_detection_resnet_ssd_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    jax,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tests", ".jax_cache"),
+)
+
 import numpy as np
 
 from jpeg_detection_resnet_ssd_tpu.utils.distributed import (

@@ -26,33 +26,19 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: model-sized CPU compiles dominate suite
-# wall time; caching them across runs cuts repeat suites by minutes.
-# The cache dir is keyed by a host-CPU-feature fingerprint: XLA:CPU AOT
-# artifacts are NOT portable across machine types, and loading a cache
-# packed on a host with different vector extensions aborts the process
-# (cpu_aot_loader "machine feature not supported" -> SIGILL/abort).
-def _cpu_fingerprint():
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
-
-
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-    _cpu_fingerprint(),
+# wall time; caching them across runs cuts repeat suites by minutes.  The
+# cache dir key lives in utils/compile_cache.py (shared with the driver
+# dryrun): jax/jaxlib versions + CPU model name + feature flags — XLA:CPU
+# AOT artifacts are NOT portable across machine types, and a stale or
+# foreign artifact can SIGILL or load with a machine-mismatch warning.
+from jpeg_detection_resnet_ssd_tpu.utils.compile_cache import (
+    enable_persistent_cache,
 )
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+enable_persistent_cache(
+    jax,
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import numpy as np
 import pytest

@@ -695,6 +695,47 @@ class TestOutputDecoder:
             np.testing.assert_allclose(mine[:, 1], theirs[:, 1], atol=1e-5)
             np.testing.assert_allclose(mine[:, 2:], theirs[:, 2:], atol=2e-2)
 
+    def test_decode_detections_debug_parity(self, ref, small_anchors):
+        """`decode_detections_debug` (`ssd_output_decoder.py:342+`) vs
+        `boxes.decode.decode_detections_debug`: each surviving row also
+        carries the model-internal box index (predictor-layer provenance)."""
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections_debug,
+        )
+
+        rng = np.random.default_rng(29)
+        n_classes = 4
+        y_pred = _fake_predictions(rng, small_anchors, n_classes, batch=2)
+        expect = ref.decoder.decode_detections_debug(
+            y_pred, confidence_thresh=0.25, iou_threshold=0.45, top_k=50,
+            normalize_coords=True, img_height=100, img_width=100,
+            border_pixels="half",
+        )
+        got = np.asarray(
+            decode_detections_debug(
+                y_pred.astype(np.float32),
+                n_classes=n_classes,
+                confidence_thresh=0.25,
+                iou_threshold=0.45,
+                top_k=50,
+                nms_max_output_size=small_anchors.shape[0],
+                normalize_coords=True,
+                img_height=100,
+                img_width=100,
+                border_pixels="half",
+            )
+        )
+        for b in range(2):
+            mine = got[b][got[b][:, 2] > 0]
+            mine = mine[np.argsort(-mine[:, 2], kind="stable")]
+            theirs = np.asarray(expect[b], np.float64).reshape(-1, 7)
+            theirs = theirs[np.argsort(-theirs[:, 2], kind="stable")]
+            assert mine.shape[0] == theirs.shape[0]
+            np.testing.assert_array_equal(mine[:, 0], theirs[:, 0])  # box_id
+            np.testing.assert_array_equal(mine[:, 1], theirs[:, 1])  # class
+            np.testing.assert_allclose(mine[:, 2], theirs[:, 2], atol=1e-5)
+            np.testing.assert_allclose(mine[:, 3:], theirs[:, 3:], atol=2e-2)
+
     def test_decode_detections_fast_parity(self, ref, small_anchors):
         from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
             decode_detections_fast,
@@ -1026,6 +1067,136 @@ class TestEvalUtils:
         np.testing.assert_allclose(aps_sample[1:], ref_aps, atol=1e-12)
 
 
+class TestVocXmlParser:
+    @pytest.fixture(scope="class")
+    def voc_tree(self, tmp_path_factory):
+        """VOC-format annotations with the FULL tag set the reference parser
+        requires (folder/pose/truncated/difficult)."""
+        root = tmp_path_factory.mktemp("voc_parity")
+        rng = np.random.default_rng(13)
+        names = ["dog", "cat", "car", "person", "bus"]
+        os.makedirs(root / "JPEGImages", exist_ok=True)
+        os.makedirs(root / "Annotations", exist_ok=True)
+        os.makedirs(root / "ImageSets" / "Main", exist_ok=True)
+        ids = []
+        for i in range(6):
+            iid = f"{i:06d}"
+            ids.append(iid)
+            # the reference globs only the XML; the image file just has to
+            # be named in filenames, not opened
+            (root / "JPEGImages" / f"{iid}.jpg").write_bytes(b"")
+            objs = []
+            for _ in range(int(rng.integers(1, 4))):
+                name = names[int(rng.integers(0, len(names)))]
+                x0, y0 = rng.integers(0, 200, 2)
+                w, h = rng.integers(20, 100, 2)
+                difficult = int(rng.random() < 0.3)
+                truncated = int(rng.random() < 0.2)
+                objs.append(
+                    f"<object><name>{name}</name><pose>Unspecified</pose>"
+                    f"<truncated>{truncated}</truncated>"
+                    f"<difficult>{difficult}</difficult>"
+                    f"<bndbox><xmin>{x0}</xmin><ymin>{y0}</ymin>"
+                    f"<xmax>{x0 + w}</xmax><ymax>{y0 + h}</ymax>"
+                    f"</bndbox></object>"
+                )
+            (root / "Annotations" / f"{iid}.xml").write_text(
+                "<annotation><folder>VOC2007</folder>"
+                f"<filename>{iid}.jpg</filename>"
+                "<size><width>300</width><height>300</height>"
+                "<depth>3</depth></size>" + "".join(objs) + "</annotation>"
+            )
+        (root / "ImageSets" / "Main" / "test.txt").write_text(
+            "\n".join(ids) + "\n"
+        )
+        return str(root)
+
+    @pytest.mark.parametrize("exclude_difficult,exclude_truncated",
+                             [(False, False), (True, False), (False, True)])
+    def test_parse_xml_parity(self, ref, voc_tree, exclude_difficult,
+                              exclude_truncated):
+        """`DataGenerator.parse_xml`
+        (`object_detection_2d_data_generator.py:406-546`, BeautifulSoup) vs
+        `data.parse_voc_xml`: image ids, per-image label arrays
+        (class_id, xmin, ymin, xmax, ymax), and difficult flags."""
+        from data_generator.object_detection_2d_data_generator import (
+            DataGenerator,
+        )
+
+        from jpeg_detection_resnet_ssd_tpu.data import parse_voc_xml
+
+        img_dir = os.path.join(voc_tree, "JPEGImages")
+        set_file = os.path.join(voc_tree, "ImageSets", "Main", "test.txt")
+        ann_dir = os.path.join(voc_tree, "Annotations")
+        gen = DataGenerator(load_images_into_memory=False)
+        gen.parse_xml(
+            [img_dir], [set_file], [ann_dir],
+            exclude_truncated=exclude_truncated,
+            exclude_difficult=exclude_difficult, verbose=False,
+        )
+        recs = parse_voc_xml(
+            img_dir, set_file, ann_dir,
+            include_difficult=not exclude_difficult,
+            exclude_truncated=exclude_truncated,
+        )
+        assert [r["image_id"] for r in recs] == gen.image_ids
+        for i, rec in enumerate(recs):
+            expect = np.asarray(gen.labels[i], np.float64).reshape(-1, 5)
+            got = np.asarray(rec["boxes"], np.float64).reshape(-1, 5)
+            np.testing.assert_array_equal(got, expect)
+            np.testing.assert_array_equal(
+                np.asarray(rec["difficult"], bool),
+                np.asarray(gen.eval_neutral[i], bool),
+            )
+
+
+class TestWeightSurgery:
+    def test_sample_tensors_explicit_indices_parity(self, ref, rng):
+        """`misc_utils/tensor_sampling_utils.sample_tensors` vs
+        `compat.surgery.sample_tensors` with EXPLICIT index lists (both
+        deterministic).  The APIs differ (the reference maps dependent
+        tensors' axes via `axes=[[...]]`; this build samples each tensor in
+        a separate call reusing the returned indices) — values must agree
+        exactly.  Canonical use: transplant a conv class-head
+        (kernel (3,3,Cin,n_out) + bias (n_out)) to fewer classes."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_sampling",
+            "/root/reference/localisation_part/misc_utils/"
+            "tensor_sampling_utils.py",
+        )
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+        from jpeg_detection_resnet_ssd_tpu.compat import sample_tensors
+
+        kernel = rng.normal(0, 1, (3, 3, 8, 12))
+        bias = rng.normal(0, 1, (12,))
+        keep = [0, 2, 5, 9]
+        expect_k, expect_b = ref_mod.sample_tensors(
+            [kernel, bias],
+            sampling_instructions=[3, 3, 8, keep],
+            axes=[[3]],
+        )
+        (got_k,), _ = sample_tensors([kernel], [3, 3, 8, keep])
+        (got_b,), _ = sample_tensors([bias], [keep])
+        np.testing.assert_array_equal(got_k, expect_k)
+        np.testing.assert_array_equal(got_b, expect_b)
+
+    def test_sample_tensors_random_subsample_keeps_background(self, rng):
+        """Random integer subsampling must always keep index 0 (the
+        background column), per `tensor_sampling_utils.py:118-122`."""
+        from jpeg_detection_resnet_ssd_tpu.compat import sample_tensors
+
+        w = rng.normal(0, 1, (4, 10))
+        for seed in range(5):
+            (_out,), idx = sample_tensors(
+                [w], [4, 3], rng=np.random.default_rng(seed)
+            )
+            assert idx[1][0] == 0, idx
+            assert np.all(np.diff(idx[1]) > 0)
+
+
 # ---------------------------------------------------------------------------
 # (f) augmentation
 # ---------------------------------------------------------------------------
@@ -1167,6 +1338,58 @@ class TestAugmentationOps:
         np.testing.assert_array_equal(to_3_channels(one), op(one))
         four = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
         np.testing.assert_array_equal(to_3_channels(four), op(four))
+
+    def test_classification_helpers_parity(self, ref, rng, monkeypatch):
+        """`classification_part/.../generators/helper.py:12-45` photometric
+        helpers vs the `cls_*_core` functions, with the random draw pinned
+        by monkeypatching np.random (the reference draws inside the op).
+        The reference's alpha is `2*U(0,1)*var + 1 - var` == 1 + U(-var,var),
+        the wrappers' distribution.  (Reference quirk not replicated: its
+        `brightness` offsets by `1 - saturation_var` (`helper.py:26`) —
+        identical at the only var ever used, 0.5.)"""
+        # load the module FILE directly: the vgg_jpeg_keras package
+        # __init__ imports the jpeg2dct C++ submodule, absent here
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_cls_helper",
+            "/root/reference/classification_part/vgg_jpeg_keras/"
+            "generators/helper.py",
+        )
+        helper = importlib.util.module_from_spec(spec)
+        try:
+            spec.loader.exec_module(helper)
+        except Exception as e:  # pragma: no cover - env-dependent deps
+            pytest.skip(f"classification helper not importable: {e}")
+        from jpeg_detection_resnet_ssd_tpu.data.augment import (
+            cls_brightness_core,
+            cls_contrast_core,
+            cls_lighting_core,
+            cls_saturation_core,
+            grayscale,
+        )
+
+        img = _test_image(rng, h=60, w=70).astype(np.float64)
+        np.testing.assert_allclose(grayscale(img), helper.grayscale(img),
+                                   atol=1e-12)
+        for u in (0.1, 0.5, 0.93):
+            alpha = 2 * u * 0.5 + 1 - 0.5
+            monkeypatch.setattr(np.random, "random", lambda u=u: u)
+            np.testing.assert_array_equal(
+                cls_saturation_core(img, alpha), helper.saturation(img)
+            )
+            np.testing.assert_array_equal(
+                cls_brightness_core(img, alpha), helper.brightness(img)
+            )
+            np.testing.assert_array_equal(
+                cls_contrast_core(img, alpha), helper.contrast(img)
+            )
+        noise = np.array([0.3, -0.8, 1.2])
+        monkeypatch.setattr(np.random, "randn", lambda n: noise)
+        # the reference scales the drawn randn(3) by lighting_std (0.5)
+        np.testing.assert_array_equal(
+            cls_lighting_core(img, noise * 0.5), helper.lighting(img)
+        )
 
     @pytest.mark.slow
     def test_ssd_chain_distributional_parity(self, ref):
