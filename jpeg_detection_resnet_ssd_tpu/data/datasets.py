@@ -183,12 +183,16 @@ def parse_detection_csv(csv_path: str, images_dir: str):
 def parse_coco_json(annotations_json: str, images_dir: str,
                     include_crowd: bool = False):
     """MS COCO instances JSON -> detection records with contiguous class ids
-    (1..n in ascending original-category-id order), the mapping of
-    `eval_utils/coco_utils.py:30-61`."""
+    (1..n in the categories list's FILE order — the reference enumerates
+    `annotations['categories']` as-is, `eval_utils/coco_utils.py:54-57` /
+    `object_detection_2d_data_generator.py` parse_json; real COCO files list
+    categories id-ascending so the two orders coincide there, but the file
+    order is the genuine contract — pinned by tests/test_reference_parity)."""
     with open(annotations_json) as f:
         coco = json.load(f)
-    cat_ids = sorted(c["id"] for c in coco["categories"])
-    cat_to_contiguous = {cid: i + 1 for i, cid in enumerate(cat_ids)}
+    cat_to_contiguous = {
+        c["id"]: i + 1 for i, c in enumerate(coco["categories"])
+    }
     images = {im["id"]: im for im in coco["images"]}
     by_image: dict[int, list] = {im_id: [] for im_id in images}
     for ann in coco["annotations"]:

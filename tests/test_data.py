@@ -740,10 +740,12 @@ def test_coco_parser(tmp_path):
     p = tmp_path / "instances.json"
     p.write_text(_json.dumps(coco))
     records, cat_map = parse_coco_json(str(p), str(tmp_path))
-    assert cat_map == {3: 1, 18: 2}  # ascending original ids -> contiguous
+    # contiguous ids follow the categories list's FILE order — the genuine
+    # reference contract (`coco_utils.py:54-57`; see test_reference_parity)
+    assert cat_map == {18: 1, 3: 2}
     by_id = {r["image_id"]: r for r in records}
     assert by_id[7]["boxes"].shape == (1, 5)  # crowd excluded
-    np.testing.assert_allclose(by_id[7]["boxes"][0], [2, 10, 20, 40, 60])
-    np.testing.assert_allclose(by_id[9]["boxes"][0], [1, 0, 0, 50, 60])
+    np.testing.assert_allclose(by_id[7]["boxes"][0], [1, 10, 20, 40, 60])
+    np.testing.assert_allclose(by_id[9]["boxes"][0], [2, 0, 0, 50, 60])
     records2, _ = parse_coco_json(str(p), str(tmp_path), include_crowd=True)
     assert {r["image_id"]: r for r in records2}[7]["boxes"].shape == (2, 5)

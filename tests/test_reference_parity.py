@@ -1150,6 +1150,118 @@ class TestVocXmlParser:
             )
 
 
+class TestCsvCocoParsers:
+    def test_parse_csv_parity(self, ref, tmp_path, rng):
+        """`DataGenerator.parse_csv`
+        (`object_detection_2d_data_generator.py:268-404`) vs
+        `data.parse_detection_csv` on a fabricated multi-image CSV."""
+        from data_generator.object_detection_2d_data_generator import (
+            DataGenerator,
+        )
+
+        from jpeg_detection_resnet_ssd_tpu.data import parse_detection_csv
+
+        rows = []
+        for i in range(5):
+            name = f"im{i:03d}.jpg"
+            for _ in range(int(rng.integers(1, 4))):
+                x0, y0 = rng.integers(0, 200, 2)
+                w, h = rng.integers(10, 90, 2)
+                cls = int(rng.integers(1, 6))
+                rows.append((name, int(x0), int(x0 + w), int(y0),
+                             int(y0 + h), cls))
+        csv_path = tmp_path / "labels.csv"
+        with open(csv_path, "w") as f:
+            f.write("image_name,xmin,xmax,ymin,ymax,class_id\n")
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+        gen = DataGenerator(load_images_into_memory=False)
+        gen.parse_csv(
+            str(tmp_path), str(csv_path),
+            input_format=["image_name", "xmin", "xmax", "ymin", "ymax",
+                          "class_id"],
+            verbose=False,
+        )
+        recs = parse_detection_csv(str(csv_path), str(tmp_path))
+        ref_by_id = {
+            image_id: np.asarray(gen.labels[i], np.float64)
+            for i, image_id in enumerate(gen.image_ids)
+        }
+        assert {r["image_id"] for r in recs} == set(ref_by_id)
+        for rec in recs:
+            expect = ref_by_id[rec["image_id"]]
+            got = np.asarray(rec["boxes"], np.float64)
+            # box order within an image may differ (the reference sorts the
+            # raw CSV rows); compare as canonically-sorted sets
+            expect = expect[np.lexsort(expect.T[::-1])]
+            got = got[np.lexsort(got.T[::-1])]
+            np.testing.assert_array_equal(got, expect)
+
+    def test_parse_coco_parity_unsorted_categories(self, ref, tmp_path, rng):
+        """`DataGenerator.parse_json` / `get_coco_category_maps` vs
+        `data.parse_coco_json` — including the genuine contract that
+        contiguous class ids follow the categories list's FILE order
+        (`coco_utils.py:54-57`), checked with a deliberately NON-ascending
+        categories list (real COCO files are ascending)."""
+        import json as _json
+
+        from data_generator.object_detection_2d_data_generator import (
+            DataGenerator,
+        )
+        from eval_utils.coco_utils import get_coco_category_maps
+
+        from jpeg_detection_resnet_ssd_tpu.data.datasets import (
+            parse_coco_json,
+        )
+
+        coco = {
+            "categories": [
+                {"id": 7, "name": "truck"},
+                {"id": 2, "name": "bicycle"},
+                {"id": 11, "name": "hydrant"},
+            ],
+            "images": [
+                {"id": 10, "file_name": "a.jpg", "width": 300, "height": 200},
+                {"id": 4, "file_name": "b.jpg", "width": 250, "height": 250},
+            ],
+            "annotations": [],
+        }
+        ann_id = 0
+        for im in coco["images"]:
+            for _ in range(int(rng.integers(1, 4))):
+                x0, y0 = map(float, rng.integers(0, 150, 2))
+                w, h = map(float, rng.integers(10, 80, 2))
+                cat = [7, 2, 11][int(rng.integers(0, 3))]
+                ann_id += 1
+                coco["annotations"].append({
+                    "id": ann_id, "image_id": im["id"],
+                    "category_id": cat, "bbox": [x0, y0, w, h],
+                    "iscrowd": 0, "area": w * h,
+                })
+        path = tmp_path / "instances.json"
+        path.write_text(_json.dumps(coco))
+
+        c2c, _, _, _ = get_coco_category_maps(str(path))
+        gen = DataGenerator(load_images_into_memory=False)
+        gen.parse_json(
+            [str(tmp_path)], [str(path)], ground_truth_available=True,
+            verbose=False,
+        )
+        recs, cat_map = parse_coco_json(str(path), str(tmp_path),
+                                        include_crowd=True)
+        assert cat_map == c2c  # file-order contiguous mapping
+        ref_by_id = {
+            image_id: np.asarray(gen.labels[i], np.float64).reshape(-1, 5)
+            for i, image_id in enumerate(gen.image_ids)
+        }
+        assert {r["image_id"] for r in recs} == set(ref_by_id)
+        for rec in recs:
+            np.testing.assert_allclose(
+                np.asarray(rec["boxes"], np.float64),
+                ref_by_id[rec["image_id"]], atol=1e-9,
+            )
+
+
 class TestWeightSurgery:
     def test_sample_tensors_explicit_indices_parity(self, ref, rng):
         """`misc_utils/tensor_sampling_utils.sample_tensors` vs
