@@ -188,8 +188,9 @@ class TestTargetEncoder:
         (bipartite or multi — GT rows stay alive for multi), and any
         non-positive anchor with max IoU in [neg_iou_limit, pos) is neutral.
         The broken row-killed version yields exactly n_gt positives and zero
-        neutrals; verified to match the reference's own matching_utils on
-        randomized GT."""
+        neutrals.  The repeatable check against the reference's own
+        matching_utils/SSDInputEncoder lives in
+        `tests/test_reference_parity.py` (TestMatching, TestInputEncoder)."""
         from jpeg_detection_resnet_ssd_tpu.boxes import geometry
 
         enc = self.make_encoder()

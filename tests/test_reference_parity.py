@@ -736,6 +736,62 @@ class TestOutputDecoder:
             np.testing.assert_allclose(mine[:, 2], theirs[:, 2], atol=1e-5)
             np.testing.assert_allclose(mine[:, 3:], theirs[:, 3:], atol=2e-2)
 
+    def test_decode_detections_fast_no_log_parity(self, ref, small_anchors):
+        """The `_no_log` decoder family (`ssd_output_decoder_no_log.py:297`:
+        raw w/h ratios instead of their exp) vs
+        `decode_detections_fast(log_scale_offsets=False)`."""
+        import importlib
+
+        from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
+            decode_detections_fast,
+        )
+
+        no_log = importlib.import_module(
+            "ssd_encoder_decoder.ssd_output_decoder_no_log"
+        )
+        rng = np.random.default_rng(27)
+        n_classes = 4
+        y_pred = _fake_predictions(rng, small_anchors, n_classes, batch=2)
+        # no-log offsets must yield positive w/h: shift the w/h offset slots
+        # into a positive band (ratio = offs * var; keep ratio in [0.4, 1.6])
+        y_pred[..., n_classes + 3 : n_classes + 5] = rng.uniform(
+            2.0, 8.0, y_pred[..., n_classes + 3 : n_classes + 5].shape
+        )
+        expect = no_log.decode_detections_fast(
+            y_pred,
+            confidence_thresh=0.5,
+            iou_threshold=0.45,
+            top_k=50,
+            input_coords="centroids",
+            normalize_coords=True,
+            img_height=100,
+            img_width=100,
+            border_pixels="half",
+        )
+        got = np.asarray(
+            decode_detections_fast(
+                y_pred.astype(np.float32),
+                confidence_thresh=0.5,
+                iou_threshold=0.45,
+                top_k=50,
+                nms_max_output_size=small_anchors.shape[0],
+                normalize_coords=True,
+                img_height=100,
+                img_width=100,
+                border_pixels="half",
+                log_scale_offsets=False,
+            )
+        )
+        for b in range(2):
+            mine = _rows_sorted(got[b][got[b][:, 1] > 0])
+            theirs = _rows_sorted(expect[b]) if len(expect[b]) else np.zeros(
+                (0, 6)
+            )
+            assert mine.shape[0] == theirs.shape[0]
+            np.testing.assert_array_equal(mine[:, 0], theirs[:, 0])
+            np.testing.assert_allclose(mine[:, 1], theirs[:, 1], atol=1e-5)
+            np.testing.assert_allclose(mine[:, 2:], theirs[:, 2:], atol=2e-2)
+
     def test_decode_detections_fast_parity(self, ref, small_anchors):
         from jpeg_detection_resnet_ssd_tpu.boxes.decode import (
             decode_detections_fast,
