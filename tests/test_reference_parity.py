@@ -1458,6 +1458,77 @@ class TestAugmentationOps:
         np.testing.assert_array_equal(got_img, exp_img)
         np.testing.assert_allclose(got_labels, exp_labels, atol=1e-6)
 
+    def test_translate_parity(self, ref, rng):
+        """`Translate` (`geometric_ops.py:233`, relative-fraction warpAffine)
+        vs `translate` (integer-pixel slice): exact image and label parity
+        at dy_abs = round(h*dy_rel), dx_abs = round(w*dx_rel)."""
+        from jpeg_detection_resnet_ssd_tpu.data.augment import translate
+
+        img = _test_image(rng, h=60, w=80)
+        labels = np.array([[1, 10.0, 12.0, 40.0, 30.0],
+                           [2, 30.0, 20.0, 70.0, 50.0]])
+        for dy_rel, dx_rel in [(0.1, -0.15), (-0.2, 0.05), (0.0, 0.3)]:
+            op = ref.geo_ops.Translate(dy=dy_rel, dx=dx_rel, clip_boxes=True,
+                                       background=(10, 20, 30))
+            exp_img, exp_labels = op(img.copy(), labels.copy())
+            got_img, got_labels = translate(
+                img.copy(), labels.copy(),
+                int(round(60 * dy_rel)), int(round(80 * dx_rel)),
+                background=(10, 20, 30), clip_boxes=True,
+            )
+            np.testing.assert_array_equal(got_img, exp_img)
+            np.testing.assert_allclose(got_labels, exp_labels, atol=1e-6)
+
+    def test_scale_parity(self, ref, rng):
+        """`Scale` (`geometric_ops.py:449`) vs `scale_affine`: identical
+        warpAffine image; boxes match within the reference's integer
+        rounding (it rounds mapped corners, this build keeps sub-pixel)."""
+        from jpeg_detection_resnet_ssd_tpu.data.augment import scale_affine
+
+        img = _test_image(rng, h=60, w=80)
+        labels = np.array([[1, 20.0, 15.0, 45.0, 35.0],
+                           [2, 35.0, 25.0, 60.0, 50.0]])
+        for factor in (0.7, 1.0, 1.25):
+            op = ref.geo_ops.Scale(factor=factor, clip_boxes=True,
+                                   background=(1, 2, 3))
+            exp_img, exp_labels = op(img.copy(), labels.copy())
+            got_img, got_labels = scale_affine(
+                img.copy(), labels.copy(), factor, background=(1, 2, 3),
+                clip_boxes=True,
+            )
+            np.testing.assert_array_equal(got_img, exp_img)
+            assert got_labels.shape == exp_labels.shape
+            assert np.abs(got_labels - exp_labels).max() <= 0.5 + 1e-6
+
+    def test_rotate_right_angle_parity(self, ref, rng):
+        """`Rotate` at 90/180/270 (`geometric_ops.py:659`) vs `rotate90`:
+        output geometry and box coordinates match EXACTLY.  Images are
+        compared loosely on a smooth gradient: the reference's warpAffine
+        path resamples at half-pixel centers AND zero-pads a border
+        row/column from its int() canvas truncation — a lossy rendering of
+        what is an exact permutation; this build's np.rot90 IS the exact
+        rotation (pixel-identical content)."""
+        from jpeg_detection_resnet_ssd_tpu.data.augment import rotate90
+
+        x = np.linspace(0, 255, 80, dtype=np.float32)[None, :, None]
+        y = np.linspace(0, 255, 60, dtype=np.float32)[:, None, None]
+        img = np.clip((x + y) / 2, 0, 255).astype(np.uint8)
+        img = np.repeat(img, 3, axis=2)
+        labels = np.array([[1, 10.0, 12.0, 40.0, 30.0],
+                           [2, 30.0, 20.0, 70.0, 50.0]])
+        for angle, k in [(90, 1), (180, 2), (270, 3)]:
+            exp_img, exp_labels = ref.geo_ops.Rotate(angle=angle)(
+                img.copy(), labels.copy()
+            )
+            got_img, got_labels = rotate90(img.copy(), labels.copy(), k=k)
+            assert got_img.shape == exp_img.shape
+            np.testing.assert_allclose(got_labels, exp_labels, atol=1e-6)
+            # smooth image: the reference's <=1 px resample/shift error is a
+            # few gray levels; a layout disagreement would be ~100
+            assert np.abs(
+                got_img.astype(np.int32) - exp_img.astype(np.int32)
+            ).mean() < 10.0
+
     def test_brightness_contrast_parity(self, ref, rng):
         from jpeg_detection_resnet_ssd_tpu.data.augment import (
             brightness_shift,
