@@ -488,7 +488,16 @@ def cmd_evaluate(args):
             ev.predict_on_dataset()
             mean_ap, aps = None, []
         else:
-            mean_ap, aps, _ = ev(average_precision_mode=args.ap_mode)
+            mean_ap, aps, _ = ev(
+                average_precision_mode=args.ap_mode,
+                # --reference-iou reproduces the reference evaluator's mixed
+                # matching IoU (intersection at 'half' under 'include' box
+                # areas — its iou() drops border_pixels on the intersection,
+                # bounding_box_utils.py:348) for digit-exact parity with its
+                # published mAP tables; default is the official consistent
+                # +1px convention.
+                intersection_border="half" if args.reference_iou else None,
+            )
     if args.out_dir:
         write_voc_detection_files(ev.prediction_results, args.out_dir)
     if args.predict_only:
@@ -919,6 +928,12 @@ def build_parser():
     ev.add_argument("--predict-only", action="store_true",
                     help="write predictions without computing mAP "
                          "(for annotation-less test sets)")
+    ev.add_argument("--reference-iou", action="store_true",
+                    help="match with the reference evaluator's mixed IoU "
+                         "formula (its iou() computes the intersection with "
+                         "'half' borders even under 'include') for "
+                         "digit-exact parity with its published mAP tables; "
+                         "default: the official consistent +1px convention")
     ev.add_argument("--exported", default=None,
                     help="serving-artifact dir from `export`: compute mAP "
                          "from the AOT artifact instead of the checkpoint "
