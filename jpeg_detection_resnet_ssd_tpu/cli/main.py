@@ -570,7 +570,10 @@ def cmd_compute_map(args):
         for r in recs
     }
     n_gt = num_gt_per_class(gt, 20)
-    cum_tp, cum_fp = match_predictions(preds, gt, 20)
+    cum_tp, cum_fp = match_predictions(
+        preds, gt, 20,
+        intersection_border="half" if args.reference_iou else None,
+    )
     aps = []
     for c in range(1, 21):
         prec, rec = precision_recall(cum_tp[c], cum_fp[c], int(n_gt[c]))
@@ -954,6 +957,9 @@ def build_parser():
     cm.add_argument("--image-set", default="test.txt")
     cm.add_argument("--ap-mode", default="sample",
                     choices=["integrate", "sample"])
+    cm.add_argument("--reference-iou", action="store_true",
+                    help="same as evaluate --reference-iou (the reference's "
+                         "mixed matching IoU)")
     cm.set_defaults(fn=cmd_compute_map)
 
     inf = sub.add_parser("infer")
