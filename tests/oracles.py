@@ -4,6 +4,11 @@ These re-state the reference algorithms (`localisation_part/
 bounding_box_utils/`, `ssd_encoder_decoder/`) as simple, loop-based NumPy so
 the vectorized jnp implementations can be checked against an independent,
 easy-to-audit formulation.
+
+A restated oracle can share a misreading with the implementation; the
+authoritative cross-check against the reference's OWN runnable code lives
+in `tests/test_reference_parity.py` (it imports the genuine modules from
+/root/reference).  These oracles remain as a third, human-auditable leg.
 """
 
 from __future__ import annotations
